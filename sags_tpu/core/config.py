@@ -1,0 +1,210 @@
+"""One typed configuration tree for the whole framework.
+
+Replaces the reference's two parallel systems — the reflection-based argparse groups
+(`arguments/__init__.py:19-98`) and the hardcoded `SLAMParameters` class
+(`arguments/__init__.py:122-164`) plus the per-dataset intrinsics blocks commented
+in/out inside the SLAM node (`scripts/gaussian_splatting.py:172-197`).
+
+Defaults mirror `SLAMParameters` and the SLAM node's hardcoded values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class RasterizeConfig:
+    """Tiled rasterizer shape/capacity knobs (all static under jit)."""
+
+    tile: int = 16  # BLOCK_X/BLOCK_Y (`cuda_rasterizer/config.h:17-18`)
+    num_objects: int = 16  # NUM_OBJECTS (`config.h:16`)
+    # Capacity bounds replacing the reference's dynamic `num_rendered`
+    # (`rasterizer_impl.cu:288-294`): max tiles one Gaussian may be binned into
+    # and max Gaussians composited per tile. Overflows are counted and surfaced.
+    max_tiles_per_gaussian: int = 32
+    tile_capacity: int = 1024
+    chunk: int = 64  # Gaussians composited per scan step (matmul K dim)
+    bg_depth: float = 15.0  # background depth (`forward.cu:426-427`)
+    near: float = 0.2  # frustum cull plane (`auxiliary.h:159`)
+    alpha_min: float = 1.0 / 255.0
+    transmittance_min: float = 1e-4
+    low_pass: float = 0.3  # EWA dilation (`forward.cu:114-115`)
+    scale_modifier: float = 1.0
+    remat: bool = True  # rematerialize compositing chunks in backward
+
+
+@dataclass(frozen=True)
+class OptimizationConfig:
+    """Per-group LRs and schedule — `SLAMParameters` (`arguments/__init__.py:140-158`)."""
+
+    iterations: int = 30_000
+    position_lr_init: float = 1.6e-6
+    position_lr_final: float = 1.6e-6
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 10_000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    densification_interval: int = 100
+    opacity_reset_interval: int = 600
+    densify_from_iter: int = 300
+    densify_until_iter: int = 15_000
+    densify_grad_threshold: float = 0.0002
+    adam_eps: float = 1e-15  # (`gaussian_model.py:260`)
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Gaussian map capacity and growth policy.
+
+    XLA needs static shapes; the map lives in fixed-capacity buffers with an
+    active mask (replacing torch optimizer-state surgery,
+    `gaussian_model.py:428-534`). Capacity grows by doubling (one recompile per
+    doubling).
+    """
+
+    initial_capacity: int = 2 ** 17
+    max_capacity: int = 2 ** 22
+    sh_degree: int = 0  # SLAM uses 0 (`SLAMParameters.sh_degree`)
+    num_objects: int = 16
+    initial_opacity: float = 0.1  # (`gaussian_model.py:162,203`)
+    initial_scale: float = 0.01  # SLAM add path (`scripts/gaussian_splatting.py:684`)
+    prune_min_opacity: float = 0.005  # (`scripts/gaussian_splatting.py:830`)
+    prune_extent: float = 2.5  # prune_th (`scripts/gaussian_splatting.py:165`)
+    prune_interval: int = 200  # (`scripts/gaussian_splatting.py:829-831`)
+
+
+@dataclass(frozen=True)
+class SemanticsConfig:
+    num_objects: int = 16
+    num_classes: int = 100  # (`scripts/gaussian_splatting.py:210`)
+    classifier_lr: float = 5e-4  # (`scripts/gaussian_splatting.py:217`)
+    # projection-vote association (`scripts/gaussian_splatting.py:59,738-789`)
+    overlap_threshold: float = 0.5
+    cls3d_k: int = 5
+    cls3d_lambda: float = 2.0
+    cls3d_max_points: int = 300_000
+    cls3d_sample: int = 1000
+    cls3d_interval: int = 5
+    loss_rgb_weight: float = 1.0
+    loss_obj_weight: float = 1.0
+    loss_obj_3d_weight: float = 1.0
+
+
+@dataclass(frozen=True)
+class GICPConfig:
+    """fast_gicp defaults (`fast_gicp_impl.hpp:9-33`, `lsq_registration_impl.hpp:9-22`)."""
+
+    k_correspondences: int = 10
+    knn_max_distance: float = 0.5  # compared against *squared* NN distance, as in ref
+    corr_dist_threshold: float = float(3.0e38)
+    regularization: str = "normalized_ellipse"  # NONE|PLANE|MIN_EIG|NORMALIZED_MIN_EIG|FROBENIUS|NORMALIZED_ELLIPSE
+    max_iterations: int = 64
+    rotation_epsilon: float = 2e-3
+    transformation_epsilon: float = 5e-4
+    lm_max_iterations: int = 10
+    lm_init_lambda_factor: float = 1e-9
+    optimizer: str = "lm"  # lm | gn
+    # VGICP
+    voxel_resolution: float = 1.0
+    neighbor_search: str = "direct1"  # direct1 | direct7 | direct27
+    max_voxels: int = 65536
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    backend: str = "gicp"  # gicp | vgicp | esikf | none (poses given)
+    opacity_threshold: float = 0.9
+    downsample_resolution: float = 0.1
+    max_points: int = 8192  # static-shape cap for the tracker's point budget
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    keyframe_freq: int = 10  # every Nth frame (`scripts/gaussian_splatting.py:280-284`)
+    window: int = 64  # keyframe ring-buffer capacity
+    replay: bool = True  # random-past-keyframe branch (`:887-935`)
+
+
+@dataclass(frozen=True)
+class CameraPreset:
+    """Per-dataset intrinsics (`scripts/gaussian_splatting.py:172-197`)."""
+
+    width: int = 640
+    height: int = 512
+    fx: float = 431.79553  # FAST-LIVO2 (0.5 x 1280x1024) block in the node
+    fy: float = 431.78474
+    cx: float = 318.34767
+    cy: float = 255.69859
+
+
+@dataclass(frozen=True)
+class SLAMConfig:
+    raster: RasterizeConfig = field(default_factory=RasterizeConfig)
+    opt: OptimizationConfig = field(default_factory=OptimizationConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    semantics: SemanticsConfig = field(default_factory=SemanticsConfig)
+    gicp: GICPConfig = field(default_factory=GICPConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    keyframes: KeyframeConfig = field(default_factory=KeyframeConfig)
+    camera: CameraPreset = field(default_factory=CameraPreset)
+    scene_extent: float = 2.5  # (`scripts/gaussian_splatting.py:164`)
+    white_background: bool = False
+    timeout_s: float = 10.0  # topic-silence shutdown (`:652-666`)
+    post_train_iters: int = 1000  # (`:938-1013`)
+    seed: int = 0
+
+    def replace(self, **kw) -> "SLAMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Dataset presets (the intrinsics blocks the reference comments in/out).
+# ---------------------------------------------------------------------------
+
+PRESETS = {
+    # FAST-LIVO2 sequences at scale=0.5 (the active block in the node)
+    "fast_livo2": CameraPreset(640, 512, 431.79553, 431.78474, 318.34767, 255.69859),
+    # Replica (python_tester / GS-ICP-SLAM lineage)
+    "replica": CameraPreset(1200, 680, 600.0, 600.0, 599.5, 339.5),
+    # TUM freiburg3
+    "tum": CameraPreset(640, 480, 535.4, 539.2, 320.1, 247.6),
+}
+
+
+def preset(name: str) -> SLAMConfig:
+    return SLAMConfig(camera=PRESETS[name])
+
+
+def expon_lr(
+    step,
+    lr_init: float,
+    lr_final: float,
+    lr_delay_steps: int = 0,
+    lr_delay_mult: float = 1.0,
+    max_steps: int = 1_000_000,
+):
+    """Log-lerp LR schedule with optional delay (`utils/general_utils.py:33-66`).
+
+    Works on python ints or traced arrays.
+    """
+    import jax.numpy as jnp
+
+    t = jnp.clip(step / max_steps, 0.0, 1.0)
+    log_lerp = jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
+    if lr_delay_steps > 0:
+        delay_rate = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+            0.5 * math.pi * jnp.clip(step / lr_delay_steps, 0.0, 1.0)
+        )
+    else:
+        delay_rate = 1.0
+    return delay_rate * log_lerp

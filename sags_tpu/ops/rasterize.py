@@ -1,0 +1,475 @@
+"""Differentiable tiled Gaussian rasterizer — TPU-native redesign of the
+reference's `submodules/diff-gaussian-rasterization` CUDA kernels.
+
+Pipeline parity (reference file:line cited per stage):
+
+  1. **preprocess** (`forward.cu:170-275`): frustum cull (z > 0.2,
+     `auxiliary.h:144-169`), quat→Σ3D (`forward.cu:122-168`), EWA projection
+     J·W·Σ·Wᵀ·Jᵀ with +0.3 px low-pass keeping the screen↔depth covariance rows
+     czx/cyz (`forward.cu:74-117`), conic inversion, 3σ radius via eigenvalues,
+     tile rect, SH→RGB with clamp tracking (`forward.cu:20-71`). Here: one
+     vmapped/jitted function over all Gaussians.
+
+  2. **binning** (`rasterizer_impl.cu:70-138,284-327`): the CUDA version builds
+     a dynamic (Gaussian×tile) pair list and radix-sorts 64-bit
+     `tile<<32|depth` keys. XLA needs static shapes, so we bound the pair list
+     (`max_tiles_per_gaussian`) and the per-tile work queue (`tile_capacity`),
+     sort pairs with a multi-operand `lax.sort` on (tile, depth) keys, and
+     scatter the depth-ordered Gaussian ids into a dense [num_tiles,
+     tile_capacity] table. Overflows are *counted and surfaced* (never silent).
+
+  3. **composite** (`forward.cu:280-436`): the CUDA kernel walks each tile's
+     range front-to-back with per-pixel sequential transmittance. The TPU-native
+     reformulation: within a chunk of K Gaussians the per-pixel alphas form a
+     [pixels, K] matrix; front-to-back transmittance is an exclusive cumprod
+     along K; the weighted feature accumulation `Σ wᵢ·featᵢ` is a [pixels,K] @
+     [K,C] **matmul on the MXU**. Chunks scan sequentially with the
+     transmittance as carry. RGB + 16 object channels + covariance-conditioned
+     depth (`forward.cu:401-408`) composite in one fused pass; background depth
+     15 (`forward.cu:426-427`).
+
+  4. **backward** (`backward.cu`): instead of re-deriving the atomicAdd scatter
+     gradients, the whole pipeline is jax-differentiable; `jax.checkpoint` on
+     the chunk body reproduces the CUDA strategy of recomputing alphas in the
+     backward sweep. Gradients w.r.t. means/scales/quats/opacity/SH/objects are
+     exact (validated by finite differences in tests) and deterministic —
+     unlike the reference's nondeterministic atomics (`backward.cu:586-677`).
+
+Known microscopic semantic deviation (documented, tested to be <1e-4 weight):
+the CUDA depth path keeps a *separate* transmittance T_d whose update can
+diverge from T only when a Gaussian is rejected by the 1e-4 transmittance floor
+and a later one is accepted (`forward.cu:393-408`); we use a single
+transmittance for both, which matches the CUDA output everywhere except that
+measure-zero band.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+# Geometry and compositing must not silently drop to bf16 on TPU.
+_HI = jax.lax.Precision.HIGHEST
+
+from sags_tpu.core import sh as shlib
+from sags_tpu.core.camera import Camera, ndc2pix
+from sags_tpu.core.config import RasterizeConfig
+from sags_tpu.core.transforms import quat_normalize, quat_to_rotmat
+
+
+class Preprocessed(NamedTuple):
+    mean2d: jax.Array  # [P,2] pixel coords
+    depth: jax.Array  # [P] camera-space z
+    conic: jax.Array  # [P,3] (a,b,c) inverse 2D covariance
+    cov_zx_yz: jax.Array  # [P,2] screen↔depth covariance rows (czx, cyz)
+    opacity: jax.Array  # [P]
+    color: jax.Array  # [P,3]
+    radius: jax.Array  # [P] int32
+    rect_min: jax.Array  # [P,2] int32 (tx,ty)
+    rect_max: jax.Array  # [P,2] int32
+    valid: jax.Array  # [P] bool
+    clamped: jax.Array  # [P,3] bool (SH clamp mask)
+
+
+class RenderOutput(NamedTuple):
+    color: jax.Array  # [3,H,W]
+    depth: jax.Array  # [1,H,W]
+    objects: jax.Array  # [O,H,W]
+    alpha: jax.Array  # [1,H,W] accumulated alpha (1 - final_T)
+    final_T: jax.Array  # [H,W]
+    radii: jax.Array  # [P] int32
+    is_used: jax.Array  # [P] bool (tiles_touched > 0, `forward.cu:274`)
+    n_binned: jax.Array  # scalar int32: accepted (gaussian, tile) pairs
+    overflow_rect: jax.Array  # pairs dropped by max_tiles_per_gaussian
+    overflow_tile: jax.Array  # pairs dropped by tile_capacity
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: preprocess
+# ---------------------------------------------------------------------------
+
+
+def preprocess(
+    means3d: jax.Array,
+    opacities: jax.Array,
+    scales: jax.Array,
+    quats: jax.Array,
+    camera: Camera,
+    cfg: RasterizeConfig,
+    colors: Optional[jax.Array] = None,
+    shs: Optional[jax.Array] = None,
+    sh_degree: int = 0,
+    cov3d_precomp: Optional[jax.Array] = None,
+) -> Preprocessed:
+    """Per-Gaussian projection. All inputs post-activation (exp/sigmoid/normalize)."""
+    P = means3d.shape[0]
+    W, H = camera.width, camera.height
+    tiles_x = -(-W // cfg.tile)
+    tiles_y = -(-H // cfg.tile)
+
+    V = camera.world_view
+    p_view = jnp.matmul(means3d, V[:3, :3].T, precision=_HI) + V[:3, 3]
+    depth = p_view[:, 2]
+    in_front = depth > cfg.near  # `auxiliary.h:159`
+
+    M = camera.full_proj
+    p_hom = jnp.matmul(means3d, M[:3, :3].T, precision=_HI) + M[:3, 3]
+    p_w = jnp.matmul(means3d, M[3, :3], precision=_HI) + M[3, 3]
+    inv_w = 1.0 / (p_w + 1e-7)  # `forward.cu:217`
+    p_proj = p_hom * inv_w[:, None]
+
+    # 3D covariance in world, then camera frame: Σ_cam = R_v Σ R_vᵀ
+    if cov3d_precomp is not None:
+        cov3d = cov3d_precomp
+    else:
+        R = quat_to_rotmat(quat_normalize(quats))
+        S = scales * cfg.scale_modifier
+        L = R * S[:, None, :]
+        cov3d = jnp.matmul(L, jnp.swapaxes(L, -1, -2), precision=_HI)
+    Rv = V[:3, :3]
+    cov_cam = jnp.einsum("ij,pjk,lk->pil", Rv, cov3d, Rv, precision=_HI)
+
+    # EWA Jacobian with the reference's fov clamp (`forward.cu:82-92`)
+    fx, fy = camera.focal_x, camera.focal_y
+    tz = depth
+    safe_tz = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+    lim_x = 1.3 * camera.tan_fovx
+    lim_y = 1.3 * camera.tan_fovy
+    tx = jnp.clip(p_view[:, 0] / safe_tz, -lim_x, lim_x) * tz
+    ty = jnp.clip(p_view[:, 1] / safe_tz, -lim_y, lim_y) * tz
+    inv_z = 1.0 / safe_tz
+    inv_z2 = inv_z * inv_z
+    zeros = jnp.zeros_like(tz)
+    ones = jnp.ones_like(tz)
+    J = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z2], -1),
+            jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], -1),
+            jnp.stack([zeros, zeros, ones], -1),
+        ],
+        axis=-2,
+    )  # [P,3,3]
+    C = jnp.matmul(jnp.matmul(J, cov_cam, precision=_HI), jnp.swapaxes(J, -1, -2), precision=_HI)
+    cxx = C[:, 0, 0] + cfg.low_pass
+    cyy = C[:, 1, 1] + cfg.low_pass
+    cxy = C[:, 0, 1]
+    czx = C[:, 0, 2]
+    cyz = C[:, 1, 2]
+
+    det = cxx * cyy - cxy * cxy
+    det_ok = det != 0.0  # `forward.cu:237-239`
+    safe_det = jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([cyy, -cxy, cxx], -1) / safe_det[:, None]
+
+    mid = 0.5 * (cxx + cyy)
+    lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam, 0.0)))
+
+    mean2d = jnp.stack([ndc2pix(p_proj[:, 0], W), ndc2pix(p_proj[:, 1], H)], -1)
+
+    # Tile rect (`auxiliary.h:51-61`)
+    t = float(cfg.tile)
+    rmin_x = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / t), 0, tiles_x).astype(jnp.int32)
+    rmin_y = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / t), 0, tiles_y).astype(jnp.int32)
+    rmax_x = jnp.clip(jnp.floor((mean2d[:, 0] + radius + t - 1) / t), 0, tiles_x).astype(jnp.int32)
+    rmax_y = jnp.clip(jnp.floor((mean2d[:, 1] + radius + t - 1) / t), 0, tiles_y).astype(jnp.int32)
+    tiles_touched = (rmax_x - rmin_x) * (rmax_y - rmin_y)
+
+    valid = in_front & det_ok & (tiles_touched > 0)
+
+    if colors is not None:
+        color = colors
+        clamped = jnp.zeros((P, 3), bool)
+    elif shs is not None:
+        color, clamped = shlib.sh_to_color(sh_degree, shs, means3d, camera.cam_center)
+    else:
+        color = jnp.ones((P, 3), means3d.dtype)
+        clamped = jnp.zeros((P, 3), bool)
+
+    return Preprocessed(
+        mean2d=mean2d,
+        depth=depth,
+        conic=conic,
+        cov_zx_yz=jnp.stack([czx, cyz], -1),
+        opacity=opacities,
+        color=color,
+        radius=jnp.where(valid, radius, 0.0).astype(jnp.int32),
+        rect_min=jnp.stack([rmin_x, rmin_y], -1),
+        rect_max=jnp.stack([rmax_x, rmax_y], -1),
+        valid=valid,
+        clamped=clamped,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: binning (capacity-bounded pair sort → dense per-tile tables)
+# ---------------------------------------------------------------------------
+
+
+def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeConfig):
+    """Build the per-tile, depth-sorted work table.
+
+    Replaces cub radix sort over `tile<<32|depth` keys
+    (`rasterizer_impl.cu:284-327`) with `lax.sort` on (tile, depth) operand
+    keys plus a rank scatter. Integer outputs ⇒ no gradients flow here.
+    """
+    P = pre.mean2d.shape[0]
+    MT = cfg.max_tiles_per_gaussian
+    K = cfg.tile_capacity
+    NT = tiles_x * tiles_y
+
+    rect_w = (pre.rect_max[:, 0] - pre.rect_min[:, 0]).astype(jnp.int32)
+    rect_h = (pre.rect_max[:, 1] - pre.rect_min[:, 1]).astype(jnp.int32)
+    n_rect = rect_w * rect_h
+    overflow_rect = jnp.sum(jnp.where(pre.valid, jnp.maximum(n_rect - MT, 0), 0))
+
+    t_idx = jnp.arange(MT, dtype=jnp.int32)[None, :]  # [1,MT]
+    safe_w = jnp.maximum(rect_w, 1)[:, None]
+    tx = pre.rect_min[:, 0:1] + t_idx % safe_w
+    ty = pre.rect_min[:, 1:2] + t_idx // safe_w
+    pair_ok = pre.valid[:, None] & (t_idx < n_rect[:, None])
+    tile_id = jnp.where(pair_ok, ty * tiles_x + tx, NT).astype(jnp.int32)
+
+    depth = jnp.where(pair_ok, pre.depth[:, None], jnp.inf).astype(jnp.float32)
+    gid = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None], (P, MT))
+
+    tile_flat = tile_id.reshape(-1)
+    depth_flat = jax.lax.stop_gradient(depth.reshape(-1))
+    gid_flat = gid.reshape(-1)
+
+    tile_s, _, gid_s = jax.lax.sort((tile_flat, depth_flat, gid_flat), num_keys=2)
+
+    # Rank within tile = position − first-occurrence index of that tile.
+    starts = jnp.searchsorted(tile_s, jnp.arange(NT + 1, dtype=jnp.int32))
+    rank = jnp.arange(tile_s.shape[0], dtype=jnp.int32) - starts[jnp.clip(tile_s, 0, NT)]
+
+    in_range = tile_s < NT
+    fits = in_range & (rank < K)
+    overflow_tile = jnp.sum(in_range & (rank >= K))
+    n_binned = jnp.sum(in_range)
+
+    # Scatter into [NT+1, K]; overflowing / invalid entries land in row NT.
+    row = jnp.where(fits, tile_s, NT)
+    col = jnp.where(fits, rank, 0)
+    table = jnp.full((NT + 1, K), -1, jnp.int32)
+    table = table.at[row, col].set(jnp.where(fits, gid_s, -1), mode="drop")
+    table = table[:NT]
+
+    counts = jnp.minimum(starts[1:] - starts[:-1], K)[:NT]
+    return table, counts, n_binned, overflow_rect, overflow_tile
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: compositing (cumprod + MXU matmul per chunk)
+# ---------------------------------------------------------------------------
+
+
+def _tile_pixel_coords(tiles_x: int, tiles_y: int, tile: int):
+    """Pixel-center coordinates per tile: two [NT, tile*tile] arrays."""
+    ty, tx = jnp.meshgrid(jnp.arange(tiles_y), jnp.arange(tiles_x), indexing="ij")
+    base_x = (tx.reshape(-1) * tile)[:, None].astype(jnp.float32)
+    base_y = (ty.reshape(-1) * tile)[:, None].astype(jnp.float32)
+    ly, lx = jnp.meshgrid(jnp.arange(tile), jnp.arange(tile), indexing="ij")
+    px = base_x + lx.reshape(-1)[None, :].astype(jnp.float32)
+    py = base_y + ly.reshape(-1)[None, :].astype(jnp.float32)
+    return px, py
+
+
+def composite(
+    table: jax.Array,
+    counts: jax.Array,
+    pre: Preprocessed,
+    obj_features: jax.Array,
+    tiles_x: int,
+    tiles_y: int,
+    cfg: RasterizeConfig,
+):
+    """Front-to-back alpha compositing over all tiles simultaneously.
+
+    Returns (accum [NT, tile², C], T_final [NT, tile²]) where the feature
+    columns are [rgb(3) | objects(O) | depth-aux(3) | alpha(1)].
+    """
+    NT, K_TILE = table.shape
+    O = obj_features.shape[-1]
+    K = cfg.chunk
+    n_chunks = K_TILE // K
+    assert n_chunks * K == K_TILE, "tile_capacity must be a multiple of chunk"
+    PIX = cfg.tile * cfg.tile
+
+    px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
+
+    # Depth conditioning (`forward.cu:401-403`):
+    #   d_px = depth − (czx·ca + cyz·cb)·dx − (czx·cb + cyz·cc)·dy,  d = mean2d − pix
+    # Expand around the pixel: d_px = (depth − A·mx − B·my) + A·px + B·py with
+    #   A = czx·ca + cyz·cb, B = czx·cb + cyz·cc — three extra feature columns.
+    ca, cb, cc = pre.conic[:, 0], pre.conic[:, 1], pre.conic[:, 2]
+    czx, cyz = pre.cov_zx_yz[:, 0], pre.cov_zx_yz[:, 1]
+    A = czx * ca + cyz * cb
+    B = czx * cb + cyz * cc
+    dz0 = pre.depth - A * pre.mean2d[:, 0] - B * pre.mean2d[:, 1]
+
+    feats = jnp.concatenate(
+        [
+            pre.color,
+            obj_features,
+            dz0[:, None],
+            A[:, None],
+            B[:, None],
+            jnp.ones_like(dz0)[:, None],
+        ],
+        axis=-1,
+    )  # [P, C]
+    C = feats.shape[-1]
+
+    table_c = table.reshape(NT, n_chunks, K).transpose(1, 0, 2)  # [NC, NT, K]
+    max_count = jnp.max(counts)
+
+    def chunk_body(carry, xs):
+        T_eff, accum = carry
+        ids, c_idx = xs
+        vmask = ids >= 0
+        safe_ids = jnp.maximum(ids, 0)
+
+        def compute(operand):
+            T_eff, accum = operand
+            g_xy = pre.mean2d[safe_ids]  # [NT,K,2]
+            g_con = pre.conic[safe_ids]  # [NT,K,3]
+            g_op = pre.opacity[safe_ids]  # [NT,K]
+            g_ft = feats[safe_ids]  # [NT,K,C]
+
+            dx = g_xy[..., 0][:, None, :] - px[:, :, None]  # [NT,PIX,K]
+            dy = g_xy[..., 1][:, None, :] - py[:, :, None]
+            power = (
+                -0.5
+                * (g_con[..., 0][:, None, :] * dx * dx + g_con[..., 2][:, None, :] * dy * dy)
+                - g_con[..., 1][:, None, :] * dx * dy
+            )  # `forward.cu:365`
+            alpha = jnp.minimum(0.99, g_op[:, None, :] * jnp.exp(power))
+            gate = (power <= 0.0) & (alpha >= cfg.alpha_min) & vmask[:, None, :]
+            a = jnp.where(gate, alpha, 0.0)
+            om = 1.0 - a
+            cum = jnp.cumprod(om, axis=-1)
+            T_exc = T_eff[..., None] * jnp.concatenate(
+                [jnp.ones_like(cum[..., :1]), cum[..., :-1]], axis=-1
+            )
+            test = T_exc * om
+            m = gate & (test >= cfg.transmittance_min)
+            w = jnp.where(m, a * T_exc, 0.0)  # [NT,PIX,K]
+            accum = accum + jnp.einsum(
+                "tpk,tkc->tpc", w, g_ft,
+                precision=_HI, preferred_element_type=jnp.float32,
+            )
+            T_eff = T_eff * jnp.prod(jnp.where(m, om, 1.0), axis=-1)
+            return T_eff, accum
+
+        # Skip whole chunks beyond the deepest tile queue (big win online,
+        # where most tiles hold far fewer than tile_capacity Gaussians).
+        T_eff, accum = jax.lax.cond(
+            c_idx * K < max_count, compute, lambda op: op, (T_eff, accum)
+        )
+        return (T_eff, accum), None
+
+    body = jax.checkpoint(chunk_body) if cfg.remat else chunk_body
+    T0 = jnp.ones((NT, PIX), jnp.float32)
+    acc0 = jnp.zeros((NT, PIX, C), jnp.float32)
+    (T_final, accum), _ = jax.lax.scan(
+        body, (T0, acc0), (table_c, jnp.arange(n_chunks))
+    )
+    return accum, T_final, px, py
+
+
+def _untile(x: jax.Array, tiles_x: int, tiles_y: int, tile: int, W: int, H: int):
+    """[NT, tile², C] → [H, W, C]."""
+    C = x.shape[-1]
+    img = x.reshape(tiles_y, tiles_x, tile, tile, C)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tile, tiles_x * tile, C)
+    return img[:H, :W]
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def rasterize(
+    means3d: jax.Array,
+    opacities: jax.Array,
+    scales: jax.Array,
+    quats: jax.Array,
+    camera: Camera,
+    cfg: RasterizeConfig = RasterizeConfig(),
+    *,
+    colors: Optional[jax.Array] = None,
+    shs: Optional[jax.Array] = None,
+    sh_degree: int = 0,
+    obj_features: Optional[jax.Array] = None,
+    bg_color: Optional[jax.Array] = None,
+    cov3d_precomp: Optional[jax.Array] = None,
+) -> RenderOutput:
+    """Render Gaussians: the equivalent of `GaussianRasterizer.__call__`
+    (`diff_gaussian_rasterization/__init__.py:166-233`) returning what the
+    reference's `render_4` consumes (`gaussian_renderer/__init__.py:325-480`).
+
+    All parameter inputs are post-activation. Fully differentiable w.r.t.
+    means3d, opacities, scales, quats, colors/shs and obj_features.
+    """
+    P = means3d.shape[0]
+    W, H = camera.width, camera.height
+    tiles_x = -(-W // cfg.tile)
+    tiles_y = -(-H // cfg.tile)
+
+    if obj_features is None:
+        obj_features = jnp.zeros((P, cfg.num_objects), means3d.dtype)
+    if bg_color is None:
+        bg_color = jnp.zeros(3, means3d.dtype)
+
+    pre = preprocess(
+        means3d, opacities, scales, quats, camera, cfg,
+        colors=colors, shs=shs, sh_degree=sh_degree, cov3d_precomp=cov3d_precomp,
+    )
+    table, counts, n_binned, ov_rect, ov_tile = bin_gaussians(pre, tiles_x, tiles_y, cfg)
+    accum, T_final, px, py = composite(
+        table, counts, pre, obj_features, tiles_x, tiles_y, cfg
+    )
+
+    O = obj_features.shape[-1]
+    rgb = accum[..., :3]
+    obj = accum[..., 3 : 3 + O]
+    dz, wA, wB, acc_alpha = (
+        accum[..., 3 + O],
+        accum[..., 4 + O],
+        accum[..., 5 + O],
+        accum[..., 6 + O],
+    )
+
+    rgb = rgb + T_final[..., None] * bg_color[None, None, :]
+    depth = dz + px * wA + py * wB + T_final * cfg.bg_depth  # `forward.cu:426`
+
+    color_img = _untile(rgb, tiles_x, tiles_y, cfg.tile, W, H)
+    obj_img = _untile(obj, tiles_x, tiles_y, cfg.tile, W, H)
+    depth_img = _untile(depth[..., None], tiles_x, tiles_y, cfg.tile, W, H)
+    alpha_img = _untile(acc_alpha[..., None], tiles_x, tiles_y, cfg.tile, W, H)
+    T_img = _untile(T_final[..., None], tiles_x, tiles_y, cfg.tile, W, H)
+
+    return RenderOutput(
+        color=color_img.transpose(2, 0, 1),
+        depth=depth_img.transpose(2, 0, 1),
+        objects=obj_img.transpose(2, 0, 1),
+        alpha=alpha_img.transpose(2, 0, 1),
+        final_T=T_img[..., 0],
+        radii=pre.radius,
+        is_used=pre.valid,
+        n_binned=n_binned,
+        overflow_rect=ov_rect,
+        overflow_tile=ov_tile,
+    )
+
+
+def mark_visible(means3d: jax.Array, camera: Camera, near: float = 0.2) -> jax.Array:
+    """`markVisible` equivalent (`rasterize_points.cu:218-237`): frustum check."""
+    V = camera.world_view
+    z = means3d @ V[2, :3] + V[2, 3]
+    return z > near

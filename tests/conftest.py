@@ -1,0 +1,28 @@
+"""Test env: run everything on a virtual 8-device CPU mesh.
+
+The driver benches on the one real TPU chip; tests stand in for "multi-chip
+without a cluster" via `xla_force_host_platform_device_count` (see SURVEY.md §4.3).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env may point at a TPU tunnel
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+# The axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon already captured; override via config (backends are not
+# initialized until first use, so this still wins).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,247 @@
+"""Rasterizer forward golden tests.
+
+The golden is an independent numpy transliteration of the reference CUDA
+semantics (`forward.cu`): per-pixel front-to-back loop with the exact gating
+(power<=0, alpha>=1/255, transmittance floor 1e-4, done latch, separate T_d,
+conditioned depth, background depth 15). We compare our batched cumprod/matmul
+formulation against it pixel-for-pixel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sags_tpu.core.camera import make_camera, ndc2pix
+from sags_tpu.core.config import RasterizeConfig
+from sags_tpu.ops import rasterize as rz
+
+TILE = 16
+
+
+def make_scene(rng, n=60, W=64, H=48, seed_colors=True):
+    means = np.concatenate(
+        [
+            rng.uniform(-2.0, 2.0, size=(n, 2)),
+            rng.uniform(2.0, 8.0, size=(n, 1)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    scales = rng.uniform(0.02, 0.3, size=(n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    opac = rng.uniform(0.2, 0.95, size=(n,)).astype(np.float32)
+    colors = rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
+    objs = rng.normal(size=(n, 16)).astype(np.float32)
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32), W, H, 1.0, 0.8)
+    return means, scales, quats, opac, colors, objs, cam
+
+
+def ref_preprocess(means, scales, quats, cam, low_pass=0.3):
+    """Numpy EWA preprocess following forward.cu:74-275."""
+    n = means.shape[0]
+    V = np.asarray(cam.world_view, np.float64)
+    M = np.asarray(cam.full_proj, np.float64)
+    fx, fy = cam.focal_x, cam.focal_y
+    W, H = cam.width, cam.height
+    out = {}
+    p_view = means @ V[:3, :3].T + V[:3, 3]
+    depth = p_view[:, 2]
+    ph = np.concatenate([means, np.ones((n, 1))], 1) @ M.T
+    p_proj = ph[:, :3] / (ph[:, 3:4] + 1e-7)
+
+    x, y, z, w = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    R = np.stack(
+        [
+            np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            np.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        -2,
+    )
+    S = scales[:, None, :] * np.eye(3)[None]
+    L = R @ S
+    cov3d = L @ L.transpose(0, 2, 1)
+    Rv = V[:3, :3]
+    cov_cam = Rv[None] @ cov3d @ Rv.T[None]
+
+    limx, limy = 1.3 * cam.tan_fovx, 1.3 * cam.tan_fovy
+    tz = depth
+    txc = np.clip(p_view[:, 0] / tz, -limx, limx) * tz
+    tyc = np.clip(p_view[:, 1] / tz, -limy, limy) * tz
+    J = np.zeros((n, 3, 3))
+    J[:, 0, 0] = fx / tz
+    J[:, 0, 2] = -fx * txc / tz**2
+    J[:, 1, 1] = fy / tz
+    J[:, 1, 2] = -fy * tyc / tz**2
+    J[:, 2, 2] = 1.0
+    C = J @ cov_cam @ J.transpose(0, 2, 1)
+    cxx, cyy, cxy = C[:, 0, 0] + low_pass, C[:, 1, 1] + low_pass, C[:, 0, 1]
+    czx, cyz = C[:, 0, 2], C[:, 1, 2]
+    det = cxx * cyy - cxy**2
+    conic = np.stack([cyy, -cxy, cxx], -1) / det[:, None]
+    mid = 0.5 * (cxx + cyy)
+    lam = mid + np.sqrt(np.maximum(0.1, mid * mid - det))
+    radius = np.ceil(3 * np.sqrt(lam))
+    mean2d = np.stack(
+        [((p_proj[:, 0] + 1) * W - 1) * 0.5, ((p_proj[:, 1] + 1) * H - 1) * 0.5], -1
+    )
+    tiles_x, tiles_y = -(-W // TILE), -(-H // TILE)
+    rmin = np.stack(
+        [
+            np.clip(np.floor((mean2d[:, 0] - radius) / TILE), 0, tiles_x),
+            np.clip(np.floor((mean2d[:, 1] - radius) / TILE), 0, tiles_y),
+        ],
+        -1,
+    ).astype(int)
+    rmax = np.stack(
+        [
+            np.clip(np.floor((mean2d[:, 0] + radius + TILE - 1) / TILE), 0, tiles_x),
+            np.clip(np.floor((mean2d[:, 1] + radius + TILE - 1) / TILE), 0, tiles_y),
+        ],
+        -1,
+    ).astype(int)
+    tiles_touched = (rmax[:, 0] - rmin[:, 0]) * (rmax[:, 1] - rmin[:, 1])
+    valid = (depth > 0.2) & (det != 0) & (tiles_touched > 0)
+    out.update(
+        depth=depth, mean2d=mean2d, conic=conic, czx=czx, cyz=cyz,
+        radius=radius, rmin=rmin, rmax=rmax, valid=valid,
+    )
+    return out
+
+
+def ref_render(means, scales, quats, opac, colors, objs, cam, bg=None, bg_depth=15.0):
+    """Per-pixel CUDA-semantics loop (forward.cu:280-436)."""
+    W, H = cam.width, cam.height
+    pre = ref_preprocess(means, scales, quats, cam)
+    bg = np.zeros(3) if bg is None else bg
+    color = np.zeros((H, W, 3))
+    depth_img = np.zeros((H, W))
+    obj_img = np.zeros((H, W, objs.shape[1]))
+    T_img = np.ones((H, W))
+
+    order = np.argsort(pre["depth"], kind="stable")
+    for py in range(H):
+        for px in range(W):
+            tx, ty = px // TILE, py // TILE
+            T, T_d, D = 1.0, 1.0, 0.0
+            Cacc = np.zeros(3)
+            Oacc = np.zeros(objs.shape[1])
+            done = False
+            for g in order:
+                if done:
+                    break
+                if not pre["valid"][g]:
+                    continue
+                if not (pre["rmin"][g, 0] <= tx < pre["rmax"][g, 0]):
+                    continue
+                if not (pre["rmin"][g, 1] <= ty < pre["rmax"][g, 1]):
+                    continue
+                dx = pre["mean2d"][g, 0] - px
+                dy = pre["mean2d"][g, 1] - py
+                ca, cb, cc = pre["conic"][g]
+                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+                if power <= 0.0:
+                    alpha = min(0.99, opac[g] * np.exp(power))
+                    if alpha >= 1.0 / 255.0:
+                        test_T = T * (1 - alpha)
+                        if test_T >= 1e-4:
+                            Cacc += colors[g] * alpha * T
+                            Oacc += objs[g] * alpha * T
+                            T = test_T
+                        else:
+                            done = True
+                if power > 0.0:
+                    continue
+                alpha_d = min(0.99, opac[g] * np.exp(power))
+                if alpha_d < 1.0 / 255.0:
+                    continue
+                test_T_d = T_d * (1 - alpha_d)
+                if test_T_d < 1e-4:
+                    continue
+                czx, cyz = pre["czx"][g], pre["cyz"][g]
+                d_cond = pre["depth"][g] - (czx * ca + cyz * cb) * dx - (czx * cb + cyz * cc) * dy
+                D += d_cond * alpha_d * T_d
+                T_d = test_T_d
+            color[py, px] = Cacc + T * bg
+            depth_img[py, px] = D + T_d * bg_depth
+            obj_img[py, px] = Oacc
+            T_img[py, px] = T
+    return color, depth_img, obj_img, T_img, pre
+
+
+CFG = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=128, chunk=32)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(42)
+    return make_scene(rng)
+
+
+@pytest.fixture(scope="module")
+def rendered(scene):
+    means, scales, quats, opac, colors, objs, cam = scene
+    out = rz.rasterize(
+        jnp.asarray(means), jnp.asarray(opac), jnp.asarray(scales), jnp.asarray(quats),
+        cam, CFG, colors=jnp.asarray(colors), obj_features=jnp.asarray(objs),
+        bg_color=jnp.asarray([0.1, 0.2, 0.3]),
+    )
+    ref = ref_render(means, scales, quats, opac, colors, objs, cam, bg=np.array([0.1, 0.2, 0.3]))
+    return out, ref
+
+
+def test_forward_color_matches_cuda_semantics(rendered):
+    out, (color_ref, depth_ref, obj_ref, T_ref, pre) = rendered
+    got = np.asarray(out.color).transpose(1, 2, 0)
+    np.testing.assert_allclose(got, color_ref, atol=2e-4)
+
+
+def test_forward_depth_matches(rendered):
+    out, (color_ref, depth_ref, obj_ref, T_ref, pre) = rendered
+    got = np.asarray(out.depth)[0]
+    np.testing.assert_allclose(got, depth_ref, atol=2e-3)
+
+
+def test_forward_objects_match(rendered):
+    out, (color_ref, depth_ref, obj_ref, T_ref, pre) = rendered
+    got = np.asarray(out.objects).transpose(1, 2, 0)
+    np.testing.assert_allclose(got, obj_ref, atol=5e-4)
+
+
+def test_final_transmittance(rendered):
+    out, (_, _, _, T_ref, _) = rendered
+    np.testing.assert_allclose(np.asarray(out.final_T), T_ref, atol=1e-4)
+
+
+def test_radii_and_is_used(rendered, scene):
+    out, (_, _, _, _, pre) = rendered
+    means, scales, quats, opac, colors, objs, cam = scene
+    np.testing.assert_array_equal(np.asarray(out.is_used), pre["valid"])
+    got_r = np.asarray(out.radii)
+    want_r = np.where(pre["valid"], pre["radius"], 0).astype(np.int32)
+    np.testing.assert_allclose(got_r, want_r, atol=1)  # fp32 vs fp64 ceil boundary
+
+
+def test_no_overflow_in_small_scene(rendered):
+    out, _ = rendered
+    assert int(out.overflow_rect) == 0
+    assert int(out.overflow_tile) == 0
+    assert int(out.n_binned) > 0
+
+
+def test_overflow_counters_fire():
+    """tile_capacity=8 with 32 coincident gaussians must report overflow."""
+    rng = np.random.default_rng(1)
+    means = np.tile(np.array([[0.0, 0.0, 3.0]], np.float32), (32, 1))
+    means += rng.normal(0, 0.01, means.shape).astype(np.float32)
+    scales = np.full((32, 3), 0.1, np.float32)
+    quats = np.tile(np.array([[0, 0, 0, 1]], np.float32), (32, 1))
+    opac = np.full(32, 0.5, np.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), 32, 32, 1.0, 1.0)
+    cfg = RasterizeConfig(max_tiles_per_gaussian=4, tile_capacity=8, chunk=8)
+    out = rz.rasterize(
+        jnp.asarray(means), jnp.asarray(opac), jnp.asarray(scales), jnp.asarray(quats),
+        cam, cfg, colors=jnp.ones((32, 3)),
+    )
+    assert int(out.overflow_tile) > 0
