@@ -103,8 +103,13 @@ def preprocess(
     shs: Optional[jax.Array] = None,
     sh_degree: int = 0,
     cov3d_precomp: Optional[jax.Array] = None,
+    active_mask: Optional[jax.Array] = None,
 ) -> Preprocessed:
-    """Per-Gaussian projection. All inputs post-activation (exp/sigmoid/normalize)."""
+    """Per-Gaussian projection. All inputs post-activation (exp/sigmoid/normalize).
+
+    `active_mask` culls map slots that hold no live Gaussian (fixed-capacity
+    map buffers, see `sags_tpu.mapping.gaussian_map`).
+    """
     P = means3d.shape[0]
     W, H = camera.width, camera.height
     tiles_x = -(-W // cfg.tile)
@@ -179,6 +184,8 @@ def preprocess(
     tiles_touched = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 
     valid = in_front & det_ok & (tiles_touched > 0)
+    if active_mask is not None:
+        valid = valid & active_mask
 
     if colors is not None:
         color = colors
@@ -408,6 +415,7 @@ def rasterize(
     obj_features: Optional[jax.Array] = None,
     bg_color: Optional[jax.Array] = None,
     cov3d_precomp: Optional[jax.Array] = None,
+    active_mask: Optional[jax.Array] = None,
 ) -> RenderOutput:
     """Render Gaussians: the equivalent of `GaussianRasterizer.__call__`
     (`diff_gaussian_rasterization/__init__.py:166-233`) returning what the
@@ -429,6 +437,7 @@ def rasterize(
     pre = preprocess(
         means3d, opacities, scales, quats, camera, cfg,
         colors=colors, shs=shs, sh_degree=sh_degree, cov3d_precomp=cov3d_precomp,
+        active_mask=active_mask,
     )
     table, counts, n_binned, ov_rect, ov_tile = bin_gaussians(pre, tiles_x, tiles_y, cfg)
     accum, T_final, px, py = composite(
