@@ -106,7 +106,7 @@ class GICPConfig:
 
     k_correspondences: int = 10
     knn_max_distance: float = 0.5  # compared against *squared* NN distance, as in ref
-    corr_dist_threshold: float = float(3.0e38)
+    corr_dist_threshold: float = float("inf")  # ref: numeric_limits<float>::max()
     regularization: str = "normalized_ellipse"  # NONE|PLANE|MIN_EIG|NORMALIZED_MIN_EIG|FROBENIUS|NORMALIZED_ELLIPSE
     max_iterations: int = 64
     rotation_epsilon: float = 2e-3

@@ -1,0 +1,215 @@
+"""pygicp-compatible class API over `sags_tpu.ops.gicp`.
+
+Mirrors the reference's pybind surface (`submodules/fast_gicp/src/python/
+main.cpp:149-299`): `FastGICP`, `FastVGICP`, `align_points`, `downsample`,
+including the GS-ICP-SLAM extensions — covariance ↔ (quaternion, scale)
+export/import (`get_*_rotationsq/scales`, `set_*_covariance_fromqs`) and the
+z-value scale division (`calculate_*_covariance_withz`).
+
+These wrappers pad inputs to power-of-two sizes so XLA compiles once per size
+bucket, not once per scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sags_tpu.core.config import GICPConfig
+from sags_tpu.ops import gicp as _g
+
+
+def _pad_pow2(points: np.ndarray, minimum: int = 1024):
+    n = len(points)
+    cap = max(minimum, 1 << (n - 1).bit_length())
+    out = np.zeros((cap, 3), np.float32)
+    out[:n] = points
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    return jnp.asarray(out), jnp.asarray(mask), n
+
+
+class FastGICP:
+    """Stateful wrapper with pygicp semantics (covariances cached per cloud)."""
+
+    method = "gicp"
+
+    def __init__(self, cfg: GICPConfig = GICPConfig()):
+        self.cfg = cfg
+        self._src = self._tgt = None
+        self._src_covs = self._tgt_covs = None
+        self._src_qs = self._tgt_qs = None
+        self._result = None
+
+    # --- pygicp API ---
+    def set_num_threads(self, n: int):  # XLA decides; kept for API parity
+        return self
+
+    def set_correspondence_randomness(self, k: int):
+        self.cfg = dataclasses.replace(self.cfg, k_correspondences=int(k))
+        return self
+
+    def set_max_knn_distance(self, d: float):
+        self.cfg = dataclasses.replace(self.cfg, knn_max_distance=float(d))
+        return self
+
+    def set_max_correspondence_distance(self, d: float):
+        self.cfg = dataclasses.replace(self.cfg, corr_dist_threshold=float(d))
+        return self
+
+    def set_input_source(self, points):
+        self._src = _pad_pow2(np.asarray(points, np.float32))
+        self._src_covs = None
+        self._src_qs = None
+        return self
+
+    def set_input_target(self, points):
+        self._tgt = _pad_pow2(np.asarray(points, np.float32))
+        self._tgt_covs = None
+        self._tgt_qs = None
+        return self
+
+    def swap_source_and_target(self):
+        self._src, self._tgt = self._tgt, self._src
+        self._src_covs, self._tgt_covs = self._tgt_covs, self._src_covs
+        self._src_qs, self._tgt_qs = self._tgt_qs, self._src_qs
+        return self
+
+    def _covs(self, which: str, z_values=None):
+        pts, mask, n = getattr(self, f"_{which}")
+        out = _g.estimate_covariances(
+            pts, mask, self.cfg.k_correspondences, self.cfg.knn_max_distance,
+            self.cfg.regularization,
+            z_values=None if z_values is None else jnp.asarray(
+                np.pad(np.asarray(z_values, np.float32), (0, len(pts) - n))
+            ),
+        )
+        setattr(self, f"_{which}_covs", out.covs)
+        setattr(self, f"_{which}_qs", (out.quats, out.scales))
+        return out
+
+    def calculate_source_covariance(self):
+        return self._covs("src")
+
+    def calculate_target_covariance(self):
+        return self._covs("tgt")
+
+    def calculate_source_covariance_withz(self, z_values):
+        return self._covs("src", z_values)
+
+    def calculate_target_covariance_withz(self, z_values):
+        return self._covs("tgt", z_values)
+
+    def _qs(self, which: str, idx: int):
+        if getattr(self, f"_{which}_qs") is None:
+            self._covs(which)
+        qs = getattr(self, f"_{which}_qs")[idx]
+        n = getattr(self, f"_{which}")[2]
+        return np.asarray(qs[:n]).reshape(-1)
+
+    def get_source_rotationsq(self):
+        return self._qs("src", 0)
+
+    def get_target_rotationsq(self):
+        return self._qs("tgt", 0)
+
+    def get_source_scales(self):
+        return self._qs("src", 1)
+
+    def get_target_scales(self):
+        return self._qs("tgt", 1)
+
+    def _set_fromqs(self, which: str, quats, scales):
+        pts, mask, n = getattr(self, f"_{which}")
+        q = np.asarray(quats, np.float32).reshape(-1, 4)
+        s = np.asarray(scales, np.float32).reshape(-1, 3)
+        covs = np.tile(np.eye(3, dtype=np.float32), (len(pts), 1, 1))
+        covs[:n] = np.asarray(_g.covariances_from_qs(jnp.asarray(q), jnp.asarray(s)))[:n]
+        setattr(self, f"_{which}_covs", jnp.asarray(covs))
+        setattr(self, f"_{which}_qs", (jnp.asarray(q), jnp.asarray(s)))
+        return self
+
+    def set_source_covariance_fromqs(self, quats, scales):
+        return self._set_fromqs("src", quats, scales)
+
+    def set_target_covariance_fromqs(self, quats, scales):
+        return self._set_fromqs("tgt", quats, scales)
+
+    def _align_fn(self):
+        return _g.gicp_align
+
+    def align(self, initial_guess=np.eye(4)):
+        src, smask, _ = self._src
+        tgt, tmask, _ = self._tgt
+        if self._src_covs is None:
+            self._covs("src")
+        if self._tgt_covs is None:
+            self._covs("tgt")
+        self._result = self._align_fn()(
+            src, tgt, smask, tmask, jnp.asarray(np.asarray(initial_guess, np.float32)),
+            self.cfg, source_covs=self._src_covs, target_covs=self._tgt_covs,
+        )
+        return np.asarray(self._result.T)
+
+    def get_final_transformation(self):
+        return np.asarray(self._result.T)
+
+    def get_final_hessian(self):
+        return np.asarray(self._result.H)
+
+    def has_converged(self):
+        return bool(self._result.converged)
+
+
+class FastVGICP(FastGICP):
+    method = "vgicp"
+
+    def set_resolution(self, r: float):
+        self.cfg = dataclasses.replace(self.cfg, voxel_resolution=float(r))
+        return self
+
+    def set_neighbor_search_method(self, m: str):
+        self.cfg = dataclasses.replace(self.cfg, neighbor_search=m.lower())
+        return self
+
+    def _align_fn(self):
+        return _g.vgicp_align
+
+
+def align_points(
+    target,
+    source,
+    method: str = "GICP",
+    downsample_resolution: float = -1.0,
+    k_correspondences: int = 15,
+    max_correspondence_distance: float = float("inf"),
+    voxel_resolution: float = 1.0,
+    neighbor_search_method: str = "DIRECT1",
+    initial_guess=np.eye(4),
+) -> np.ndarray:
+    """One-shot alignment (pygicp `align_points`, `main.cpp:37-147`)."""
+    cfg = GICPConfig(
+        k_correspondences=k_correspondences,
+        corr_dist_threshold=max_correspondence_distance,
+        voxel_resolution=voxel_resolution,
+        neighbor_search=neighbor_search_method.lower(),
+    )
+    cls = {"GICP": FastGICP, "VGICP": FastVGICP}[method.upper()]
+    reg = cls(cfg)
+    if downsample_resolution > 0:
+        target = downsample(target, downsample_resolution)
+        source = downsample(source, downsample_resolution)
+    reg.set_input_source(source)
+    reg.set_input_target(target)
+    return reg.align(initial_guess)
+
+
+def downsample(points, resolution: float) -> np.ndarray:
+    """pygicp `downsample`: voxel-grid centroid filter."""
+    pts, mask, n = _pad_pow2(np.asarray(points, np.float32))
+    out, omask = _g.voxel_downsample(pts, mask, float(resolution), len(pts))
+    return np.asarray(out)[np.asarray(omask)]

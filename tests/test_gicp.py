@@ -1,0 +1,172 @@
+"""GICP/VGICP registration tests.
+
+The reference's only formal test (`src/test/gicp_test.cpp`) aligns a KITTI
+LiDAR pair and asserts translation error < 0.05 m, rotation error < 1°, for
+GICP and VGICP in forward/backward/swap scenarios. The bundled .pcd pair is
+binary PCL data; here we synthesize structured scans (a room-like surface
+with normals in several directions) and apply the same gates, plus the
+backward (inverse) scenario.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sags_tpu.core.config import GICPConfig
+from sags_tpu.core.transforms import se3_matrix, so3_exp
+from sags_tpu.ops import gicp
+
+
+def make_structured_cloud(rng, n=2048):
+    """Three walls + floor with mild waviness — full 3D constraint set."""
+    n4 = n // 4
+    pts = []
+    u = rng.uniform(0, 4, (n4, 2))
+    pts.append(np.stack([u[:, 0], u[:, 1], 0.05 * np.sin(3 * u[:, 0])], -1))  # floor
+    u = rng.uniform(0, 4, (n4, 2))
+    pts.append(np.stack([u[:, 0], 0.05 * np.sin(2 * u[:, 1]), u[:, 1]], -1))  # wall y=0
+    u = rng.uniform(0, 4, (n4, 2))
+    pts.append(np.stack([0.05 * np.cos(2 * u[:, 0]), u[:, 0], u[:, 1]], -1))  # wall x=0
+    u = rng.uniform(0, 4, (n - 3 * n4, 2))
+    pts.append(np.stack([u[:, 0], 4.0 + 0.04 * np.sin(u[:, 0] * 2), u[:, 1]], -1))
+    cloud = np.concatenate(pts).astype(np.float32)
+    return cloud + rng.normal(0, 0.005, cloud.shape).astype(np.float32)
+
+
+def gt_transform():
+    w = np.array([0.02, -0.03, 0.05], np.float32)  # ~3.5 deg
+    t = np.array([0.15, -0.2, 0.1], np.float32)
+    return np.asarray(se3_matrix(so3_exp(jnp.asarray(w)), jnp.asarray(t)))
+
+
+def errors(T_est, T_gt):
+    dT = np.linalg.inv(T_gt) @ T_est
+    trans_err = np.linalg.norm(dT[:3, 3])
+    cos = (np.trace(dT[:3, :3]) - 1) / 2
+    rot_err = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+    return trans_err, rot_err
+
+
+CFG = dataclasses.replace(GICPConfig(), voxel_resolution=0.5)
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.default_rng(5)
+    target = make_structured_cloud(rng)
+    T = gt_transform()
+    # source = T⁻¹ target-ish: sample an independent scan of the same surface
+    source_world = make_structured_cloud(np.random.default_rng(9))
+    # source points expressed in the *source* frame: x_s = T⁻¹ x_w
+    Tinv = np.linalg.inv(T)
+    source = (source_world @ Tinv[:3, :3].T + Tinv[:3, 3]).astype(np.float32)
+    mask = np.ones(len(target), bool)
+    return source, target, T, mask
+
+
+def test_covariance_estimation_plane(rng):
+    """Points on a plane -> smallest scale tiny, quats valid, NORMALIZED_ELLIPSE
+    floors the flat direction at 1e-3 of the middle eigenvalue."""
+    n = 512
+    u = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+    pts = np.stack([u[:, 0], u[:, 1], np.zeros(n, np.float32)], -1)
+    out = gicp.estimate_covariances(
+        jnp.asarray(pts), jnp.ones(n, bool), k=10, knn_max_distance=0.5,
+        regularization="normalized_ellipse",
+    )
+    covs = np.asarray(out.covs)
+    ev = np.sort(np.linalg.eigvalsh(covs), axis=-1)
+    # normalized: middle ev == 1, flat direction floored at 1e-3
+    np.testing.assert_allclose(ev[:, 1], 1.0, rtol=0.3)
+    assert (ev[:, 0] >= 0.5e-3).all()
+    assert (ev[:, 0] <= 0.3).all()
+    # scales: descending sqrt singular values of the raw covariance
+    s = np.asarray(out.scales)
+    assert (s[:, 0] >= s[:, 1]).all() and (s[:, 1] >= s[:, 2]).all()
+    q = np.asarray(out.quats)
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+    # ellipsoid normal (smallest axis) == plane normal z
+    R = np.asarray(gicp.covariances_from_qs(out.quats, out.scales))
+    # reconstructed covariance's smallest eigenvector should be ~z
+    evr, evecr = np.linalg.eigh(R)
+    nrm = np.abs(evecr[:, :, 0][:, 2])
+    assert (nrm > 0.95).mean() > 0.9
+
+
+def test_gicp_alignment_gate(clouds):
+    """The reference accuracy gate: <0.05 m translation, <1 deg rotation."""
+    source, target, T_gt, mask = clouds
+    res = gicp.gicp_align(
+        jnp.asarray(source), jnp.asarray(target), jnp.asarray(mask),
+        jnp.asarray(mask), jnp.eye(4), CFG,
+    )
+    te, re = errors(np.asarray(res.T), T_gt)
+    assert te < 0.05, (te, re, int(res.iterations))
+    assert re < 1.0, (te, re)
+    assert bool(res.converged)
+
+
+def test_gicp_backward_scenario(clouds):
+    """Swap source/target: estimate must invert (gicp_test.cpp backward case)."""
+    source, target, T_gt, mask = clouds
+    res = gicp.gicp_align(
+        jnp.asarray(target), jnp.asarray(source), jnp.asarray(mask),
+        jnp.asarray(mask), jnp.eye(4), CFG,
+    )
+    te, re = errors(np.asarray(res.T), np.linalg.inv(T_gt))
+    assert te < 0.05 and re < 1.0, (te, re)
+
+
+def test_vgicp_alignment_gate(clouds):
+    source, target, T_gt, mask = clouds
+    res = gicp.vgicp_align(
+        jnp.asarray(source), jnp.asarray(target), jnp.asarray(mask),
+        jnp.asarray(mask), jnp.eye(4), CFG,
+    )
+    te, re = errors(np.asarray(res.T), T_gt)
+    assert te < 0.05, (te, re, int(res.iterations))
+    assert re < 1.0, (te, re)
+
+
+def test_voxel_map_contents(rng):
+    pts = rng.uniform(0, 2, (500, 3)).astype(np.float32)
+    covs = np.tile(np.eye(3, dtype=np.float32) * 0.01, (500, 1, 1))
+    vm = gicp.build_voxel_map(jnp.asarray(pts), jnp.asarray(covs),
+                              jnp.ones(500, bool), 1.0, 64)
+    assert int(vm.overflow) == 0
+    nv = int(vm.n_voxels)
+    assert 4 <= nv <= 27
+    assert float(jnp.sum(vm.num_points)) == 500
+    # voxel means must lie in their voxel
+    means = np.asarray(vm.means[:nv])
+    coords = np.floor(means / 1.0)
+    keys_expected = gicp.lookup_voxels(vm, jnp.asarray(coords, jnp.int32))
+    assert np.asarray(keys_expected[1]).all()
+
+
+def test_voxel_downsample(rng):
+    pts = rng.uniform(0, 4, (1000, 3)).astype(np.float32)
+    out, mask = gicp.voxel_downsample(jnp.asarray(pts), jnp.ones(1000, bool), 2.0, 32)
+    n = int(mask.sum())
+    assert 4 <= n <= 8
+    # centroids within voxel bounds
+    got = np.asarray(out[:n])
+    assert (got >= 0).all() and (got <= 4).all()
+
+
+def test_masked_points_ignored(clouds):
+    """Padding rows must not affect the result."""
+    source, target, T_gt, mask = clouds
+    pad = 256
+    src_p = np.concatenate([source, np.full((pad, 3), 1e3, np.float32)])
+    tgt_p = np.concatenate([target, np.full((pad, 3), -1e3, np.float32)])
+    m_p = np.concatenate([mask, np.zeros(pad, bool)])
+    res = gicp.gicp_align(
+        jnp.asarray(src_p), jnp.asarray(tgt_p), jnp.asarray(m_p),
+        jnp.asarray(m_p), jnp.eye(4), CFG,
+    )
+    te, re = errors(np.asarray(res.T), T_gt)
+    assert te < 0.05 and re < 1.0, (te, re)
