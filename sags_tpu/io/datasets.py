@@ -1,0 +1,260 @@
+"""Dataset readers + replay — the framework's ingestion layer.
+
+Replaces the reference's ROS topic plumbing (`scripts/gaussian_splatting.py:
+227-328`) and the offline readers (`scene/dataset_readers.py`,
+`utils/traj_utils.py`):
+
+  * `Frame` — the FAST-LIVO2 topic contract as a plain record: RGB image,
+    registered colored point cloud in world frame, odometry pose.
+  * `TUMDataset` — rgb/depth/groundtruth timestamp association (max_dt 0.08,
+    `utils/traj_utils.py:60-110`) with depth back-projection.
+  * `ReplicaDataset` — results/frame*.jpg + depth*.png + traj.txt (16 floats
+    per line).
+  * `SyntheticDataset` — a procedurally generated sequence with exact ground
+    truth (renders of a known Gaussian scene along a smooth trajectory) for
+    tests and benches; stands in for rosbag replay in this repo's CI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Frame:
+    """One synchronized (image, cloud, odom) triple — the `/rgb_img` +
+    `/cloud_registered` + `/aft_mapped_to_init` contract."""
+
+    image: np.ndarray  # [3,H,W] float32 in [0,1]
+    points: np.ndarray  # [N,3] float32, world frame
+    colors: np.ndarray  # [N,3] float32 in [0,1]
+    pose: np.ndarray  # [4,4] camera-to-world
+    timestamp: float
+    depth: Optional[np.ndarray] = None  # [H,W] float32 meters (if available)
+
+
+def associate_timestamps(
+    a: Sequence[float], b: Sequence[float], max_dt: float = 0.08
+) -> List[Tuple[int, int]]:
+    """Greedy nearest-timestamp association (`traj_utils.py` TUM logic)."""
+    pairs = []
+    j = 0
+    b = list(b)
+    for i, ta in enumerate(a):
+        # advance j to the closest b
+        while j + 1 < len(b) and abs(b[j + 1] - ta) <= abs(b[j] - ta):
+            j += 1
+        if b and abs(b[j] - ta) < max_dt:
+            pairs.append((i, j))
+    return pairs
+
+
+def backproject_depth(
+    depth: np.ndarray, rgb: np.ndarray, fx, fy, cx, cy, pose: np.ndarray,
+    stride: int = 4, max_depth: float = 10.0,
+):
+    """depth [H,W] (meters) + rgb [3,H,W] → world points/colors via pose."""
+    H, W = depth.shape
+    v, u = np.mgrid[0:H:stride, 0:W:stride]
+    z = depth[v, u]
+    ok = (z > 0.05) & (z < max_depth)
+    u, v, z = u[ok], v[ok], z[ok]
+    x = (u - cx) / fx * z
+    y = (v - cy) / fy * z
+    pts_cam = np.stack([x, y, z], -1)
+    pts = pts_cam @ pose[:3, :3].T + pose[:3, 3]
+    cols = rgb[:, v, u].T
+    return pts.astype(np.float32), cols.astype(np.float32)
+
+
+class TUMDataset:
+    """TUM RGB-D: rgb.txt / depth.txt / groundtruth.txt association."""
+
+    depth_scale = 5000.0
+
+    def __init__(self, root: str, intrinsics=(535.4, 539.2, 320.1, 247.6),
+                 stride: int = 4, max_dt: float = 0.08):
+        self.root = root
+        self.fx, self.fy, self.cx, self.cy = intrinsics
+        self.stride = stride
+
+        def read_list(name):
+            out = []
+            with open(os.path.join(root, name)) as f:
+                for line in f:
+                    if line.startswith("#") or not line.strip():
+                        continue
+                    parts = line.split()
+                    out.append((float(parts[0]), parts[1:]))
+            return out
+
+        rgb = read_list("rgb.txt")
+        depth = read_list("depth.txt")
+        gt = read_list("groundtruth.txt")
+        rd = associate_timestamps([t for t, _ in rgb], [t for t, _ in depth], max_dt)
+        self.items = []
+        for i, j in rd:
+            t = rgb[i][0]
+            pairs = associate_timestamps([t], [g[0] for g in gt], max_dt)
+            if not pairs:
+                continue
+            k = pairs[0][1]
+            tx, ty, tz, qx, qy, qz, qw = (float(x) for x in gt[k][1][:7])
+            from sags_tpu.core import transforms as tf
+            import jax.numpy as jnp
+
+            R = np.asarray(tf.quat_to_rotmat(jnp.asarray([qx, qy, qz, qw])))
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = R
+            pose[:3, 3] = (tx, ty, tz)
+            self.items.append((t, rgb[i][1][0], depth[j][1][0], pose))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __iter__(self) -> Iterator[Frame]:
+        import imageio.v2 as imageio  # available via matplotlib deps? gated
+
+        for t, rgb_path, depth_path, pose in self.items:
+            img = imageio.imread(os.path.join(self.root, rgb_path))
+            img = np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
+            d = imageio.imread(os.path.join(self.root, depth_path))
+            d = np.asarray(d, np.float32) / self.depth_scale
+            pts, cols = backproject_depth(
+                d, img, self.fx, self.fy, self.cx, self.cy, pose, self.stride
+            )
+            yield Frame(img, pts, cols, pose, t, depth=d)
+
+
+class ReplicaDataset:
+    """Replica (GS-ICP-SLAM layout): results/frame%06d.jpg, depth%06d.png,
+    traj.txt with 16 floats per line."""
+
+    depth_scale = 6553.5
+
+    def __init__(self, root: str, intrinsics=(600.0, 600.0, 599.5, 339.5),
+                 stride: int = 4):
+        self.root = root
+        self.fx, self.fy, self.cx, self.cy = intrinsics
+        self.stride = stride
+        self.poses = np.loadtxt(os.path.join(root, "traj.txt")).reshape(-1, 4, 4)
+        rdir = os.path.join(root, "results")
+        self.frames = sorted(
+            f for f in os.listdir(rdir) if f.startswith("frame")
+        )
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __iter__(self) -> Iterator[Frame]:
+        import imageio.v2 as imageio
+
+        for i, name in enumerate(self.frames):
+            img = imageio.imread(os.path.join(self.root, "results", name))
+            img = np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
+            dname = name.replace("frame", "depth").rsplit(".", 1)[0] + ".png"
+            d = imageio.imread(os.path.join(self.root, "results", dname))
+            d = np.asarray(d, np.float32) / self.depth_scale
+            pose = self.poses[i].astype(np.float32)
+            pts, cols = backproject_depth(
+                d, img, self.fx, self.fy, self.cx, self.cy, pose, self.stride
+            )
+            yield Frame(img, pts, cols, pose, float(i) / 30.0, depth=d)
+
+
+class SyntheticDataset:
+    """Procedural LIVO-style sequence with exact ground truth.
+
+    A fixed random Gaussian 'world' is rendered along a smooth trajectory;
+    each frame carries the rendered image, a world-frame point sample of the
+    visible surface (with colors), and the ground-truth pose. This is the
+    replayed-sequence stand-in for configs #3/#4 of BASELINE.json in an
+    environment with no rosbags.
+    """
+
+    def __init__(self, n_frames=20, width=160, height=120, n_world=4096,
+                 pts_per_frame=2048, seed=0, fovx=1.2, fovy=1.0,
+                 max_range=8.0, step=0.4):
+        self.n_frames = n_frames
+        self.width, self.height = width, height
+        self.fovx, self.fovy = fovx, fovy
+        self.pts_per_frame = pts_per_frame
+        self.max_range = max_range
+        self.step = step
+        rng = np.random.default_rng(seed)
+        # world: gaussians on walls of a corridor along +z
+        n = n_world
+        wall = rng.integers(0, 3, n)
+        t = rng.uniform(0, 20, n)
+        h = rng.uniform(-2, 2, n)
+        x = np.where(wall == 0, -2.5, np.where(wall == 1, 2.5, h))
+        y = np.where(wall == 2, -2.0, h * 0.8)
+        self.world_xyz = np.stack([x, y, t], -1).astype(np.float32)
+        self.world_xyz += rng.normal(0, 0.03, self.world_xyz.shape).astype(np.float32)
+        self.world_rgb = rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32)
+        self.world_scale = np.full((n, 3), 0.12, np.float32)
+        self._rng = rng
+
+    def pose(self, i: int) -> np.ndarray:
+        """Smooth forward motion with gentle yaw sway."""
+        import jax.numpy as jnp
+
+        from sags_tpu.core.transforms import so3_exp
+
+        z = self.step * i
+        yaw = 0.05 * np.sin(0.3 * i)
+        R = np.asarray(so3_exp(jnp.asarray([0.0, yaw, 0.0], jnp.float32)))
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = R
+        pose[:3, 3] = (0.3 * np.sin(0.2 * i), 0.0, z)
+        return pose
+
+    def camera(self, i: int):
+        from sags_tpu.core.camera import make_camera
+
+        pose = self.pose(i)
+        return make_camera(pose[:3, :3], pose[:3, 3], self.width, self.height,
+                           self.fovx, self.fovy)
+
+    def render_gt(self, i: int):
+        import jax.numpy as jnp
+
+        from sags_tpu.core.config import RasterizeConfig
+        from sags_tpu.ops import rasterize as rz
+
+        cfg = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=512, chunk=64)
+        n = len(self.world_xyz)
+        quats = np.tile(np.array([[0, 0, 0, 1]], np.float32), (n, 1))
+        out = rz.rasterize(
+            jnp.asarray(self.world_xyz), jnp.full((n,), 0.8),
+            jnp.asarray(self.world_scale), jnp.asarray(quats),
+            self.camera(i), cfg, colors=jnp.asarray(self.world_rgb),
+        )
+        return np.asarray(out.color), np.asarray(out.depth[0])
+
+    def __len__(self):
+        return self.n_frames
+
+    def __iter__(self) -> Iterator[Frame]:
+        for i in range(self.n_frames):
+            pose = self.pose(i)
+            img, depth = self.render_gt(i)
+            # visible world points: those in front of the camera
+            rel = (self.world_xyz - pose[:3, 3]) @ pose[:3, :3]
+            # ranged sensor: points in front of the camera within max_range
+            vis = (rel[:, 2] > 0.5) & (np.linalg.norm(rel, axis=-1) < self.max_range)
+            idx = np.nonzero(vis)[0]
+            sel = self._rng.choice(idx, min(self.pts_per_frame, len(idx)),
+                                   replace=False)
+            yield Frame(
+                image=img,
+                points=self.world_xyz[sel],
+                colors=self.world_rgb[sel],
+                pose=pose,
+                timestamp=i / 10.0,
+                depth=depth,
+            )

@@ -1,0 +1,87 @@
+"""Host-side async frame queue — the ingestion "communication backend".
+
+The reference couples a ROS callback thread to a training thread through an
+unsynchronized shared dict (`scripts/gaussian_splatting.py:277` vs `:668-675`
+— a benign-by-luck race, SURVEY.md §5). Here a producer thread pre-stages
+frames into fixed-size device buffers (`jax.device_put`) behind a bounded
+queue, so the upload of frame k+1 overlaps the optimization of frame k —
+the double-buffering the reference lacks (it pays per-frame sync `.cuda()`
+uploads, `scripts/gaussian_splatting.py:679-685`).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sags_tpu.io.datasets import Frame
+
+
+class DeviceFrame(NamedTuple):
+    """A frame staged in HBM with static shapes (points padded + masked)."""
+
+    image: jax.Array  # [3,H,W]
+    points: jax.Array  # [P,3]
+    colors: jax.Array  # [P,3]
+    mask: jax.Array  # [P]
+    pose: jax.Array  # [4,4]
+    timestamp: float
+
+
+def stage_frame(frame: Frame, point_budget: int, device=None) -> DeviceFrame:
+    n = min(len(frame.points), point_budget)
+    pts = np.zeros((point_budget, 3), np.float32)
+    cols = np.zeros((point_budget, 3), np.float32)
+    msk = np.zeros(point_budget, bool)
+    pts[:n] = frame.points[:n]
+    cols[:n] = frame.colors[:n]
+    msk[:n] = True
+    put = lambda x: jax.device_put(x, device)
+    return DeviceFrame(
+        image=put(jnp.asarray(frame.image)),
+        points=put(jnp.asarray(pts)),
+        colors=put(jnp.asarray(cols)),
+        mask=put(jnp.asarray(msk)),
+        pose=put(jnp.asarray(frame.pose)),
+        timestamp=frame.timestamp,
+    )
+
+
+class FrameQueue:
+    """Bounded prefetch queue: a daemon thread stages frames ahead of use."""
+
+    _DONE = object()
+
+    def __init__(self, frames: Iterable[Frame], point_budget: int,
+                 prefetch: int = 2, device=None):
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._point_budget = point_budget
+        self._device = device
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._produce, args=(iter(frames),), daemon=True
+        )
+        self._thread.start()
+
+    def _produce(self, it: Iterator[Frame]):
+        try:
+            for f in it:
+                self._q.put(stage_frame(f, self._point_budget, self._device))
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+        finally:
+            self._q.put(self._DONE)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item

@@ -293,6 +293,7 @@ def composite(
     tiles_x: int,
     tiles_y: int,
     cfg: RasterizeConfig,
+    mesh=None,
 ):
     """Front-to-back alpha compositing over all tiles simultaneously.
 
@@ -307,6 +308,10 @@ def composite(
     PIX = cfg.tile * cfg.tile
 
     px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
+    if mesh is not None:
+        from sags_tpu.parallel.mesh import shard_tiles
+
+        px, py = shard_tiles(px, mesh), shard_tiles(py, mesh)
 
     # Depth conditioning (`forward.cu:401-403`):
     #   d_px = depth − (czx·ca + cyz·cb)·dx − (czx·cb + cyz·cc)·dy,  d = mean2d − pix
@@ -332,6 +337,16 @@ def composite(
     C = feats.shape[-1]
 
     table_c = table.reshape(NT, n_chunks, K).transpose(1, 0, 2)  # [NC, NT, K]
+    if mesh is not None:
+        from sags_tpu.parallel.mesh import shard_tiles
+
+        # tile axis is dim 1 of the chunked table
+        import jax.sharding as _sh
+
+        table_c = jax.lax.with_sharding_constraint(
+            table_c,
+            _sh.NamedSharding(mesh, _sh.PartitionSpec(None, "tiles", None)),
+        )
     max_count = jnp.max(counts)
 
     def chunk_body(carry, xs):
@@ -382,6 +397,10 @@ def composite(
     body = jax.checkpoint(chunk_body) if cfg.remat else chunk_body
     T0 = jnp.ones((NT, PIX), jnp.float32)
     acc0 = jnp.zeros((NT, PIX, C), jnp.float32)
+    if mesh is not None:
+        from sags_tpu.parallel.mesh import shard_tiles
+
+        T0, acc0 = shard_tiles(T0, mesh), shard_tiles(acc0, mesh)
     (T_final, accum), _ = jax.lax.scan(
         body, (T0, acc0), (table_c, jnp.arange(n_chunks))
     )
@@ -416,6 +435,7 @@ def rasterize(
     bg_color: Optional[jax.Array] = None,
     cov3d_precomp: Optional[jax.Array] = None,
     active_mask: Optional[jax.Array] = None,
+    mesh=None,
 ) -> RenderOutput:
     """Render Gaussians: the equivalent of `GaussianRasterizer.__call__`
     (`diff_gaussian_rasterization/__init__.py:166-233`) returning what the
@@ -441,7 +461,7 @@ def rasterize(
     )
     table, counts, n_binned, ov_rect, ov_tile = bin_gaussians(pre, tiles_x, tiles_y, cfg)
     accum, T_final, px, py = composite(
-        table, counts, pre, obj_features, tiles_x, tiles_y, cfg
+        table, counts, pre, obj_features, tiles_x, tiles_y, cfg, mesh=mesh
     )
 
     O = obj_features.shape[-1]

@@ -67,7 +67,8 @@ def init_state(cfg: SLAMConfig, rng: jax.Array, capacity: Optional[int] = None) 
     )
 
 
-def render_map(m: gm.GaussianMap, camera: Camera, cfg: SLAMConfig, bg_color=None):
+def render_map(m: gm.GaussianMap, camera: Camera, cfg: SLAMConfig, bg_color=None,
+               mesh=None):
     """`render_4` equivalent (`gaussian_renderer/__init__.py:325-480`)."""
     return rz.rasterize(
         m.xyz,
@@ -81,6 +82,7 @@ def render_map(m: gm.GaussianMap, camera: Camera, cfg: SLAMConfig, bg_color=None
         obj_features=m.obj_dc,
         bg_color=bg_color,
         active_mask=m.active,
+        mesh=mesh,
     )
 
 
@@ -94,9 +96,10 @@ def _loss_fn(
     use_cls3d: jax.Array,  # bool scalar
     rng: jax.Array,
     cfg: SLAMConfig,
+    mesh=None,
 ):
     m = gm.with_params(m, params)
-    out = render_map(m, camera, cfg)
+    out = render_map(m, camera, cfg, mesh=mesh)
 
     # Photometric (`scripts/gaussian_splatting.py:805-810`)
     _, l1 = l1_loss(out.color, gt_image)
@@ -139,6 +142,7 @@ def slam_step(
     gt_image: jax.Array,
     gt_objects: jax.Array,
     cfg: SLAMConfig,
+    mesh=None,
 ) -> Tuple[SLAMState, StepMetrics]:
     """One map-optimization iteration (jit this with cfg static via closure)."""
     m = state.map
@@ -148,7 +152,8 @@ def slam_step(
     params = gm.params_of(m)
     (loss, (loss_rgb, loss_obj, loss_obj_3d, out)), (gmap, gclf) = jax.value_and_grad(
         _loss_fn, argnums=(0, 1), has_aux=True
-    )(params, state.classifier, m, camera, gt_image, gt_objects, use_cls3d, sub, cfg)
+    )(params, state.classifier, m, camera, gt_image, gt_objects, use_cls3d, sub, cfg,
+      mesh)
 
     # Map update — per-group Adam with exp xyz schedule
     _, opt_update = gm.make_optimizer(cfg.opt, spatial_lr_scale=cfg.scene_extent)
@@ -191,10 +196,12 @@ def slam_step(
     return new_state, metrics
 
 
-def make_slam_step(cfg: SLAMConfig, donate: bool = True):
+def make_slam_step(cfg: SLAMConfig, donate: bool = True, mesh=None):
     """Jit `slam_step` with the config closed over and the state donated, so
-    the map updates in place in HBM (no copy per iteration)."""
-    fn = lambda s, cam, img, obj: slam_step(s, cam, img, obj, cfg)
+    the map updates in place in HBM (no copy per iteration). Pass a mesh to
+    shard the render-tile axis across devices (tp over tiles; GSPMD inserts
+    the per-Gaussian gradient all-reduce)."""
+    fn = lambda s, cam, img, obj: slam_step(s, cam, img, obj, cfg, mesh=mesh)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 

@@ -1,0 +1,167 @@
+"""I/O (PLY, queue, datasets), semantics (masks, association), metrics, knn."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sags_tpu.core.config import MapConfig
+from sags_tpu.io import ply as plyio
+from sags_tpu.io.datasets import Frame, SyntheticDataset, associate_timestamps
+from sags_tpu.io.queue import FrameQueue
+from sags_tpu.mapping import gaussian_map as gm
+from sags_tpu.ops.knn import knn, mean_knn3_sqdist
+from sags_tpu.semantics.association import (
+    InstanceAssociator,
+    apply_label_mapping,
+    build_label_mapping,
+    project_points_pinhole,
+)
+from sags_tpu.semantics.masks import MaskGenerator
+
+
+def test_ply_roundtrip(rng, tmp_path):
+    cfg = MapConfig(sh_degree=0, num_objects=16)
+    m = gm.init_map(32, cfg)
+    pts = rng.normal(size=(10, 3)).astype(np.float32)
+    cols = rng.uniform(size=(10, 3)).astype(np.float32)
+    m, _ = gm.add_points(m, jnp.asarray(pts), jnp.asarray(cols),
+                         jnp.ones(10, bool), jax.random.key(0))
+    path = str(tmp_path / "map.ply")
+    plyio.save_map_ply(path, m)
+    m2 = plyio.load_map_ply(path)
+    assert int(m2.count) == 10
+    np.testing.assert_allclose(np.asarray(m2.xyz[:10]), pts, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(m2.obj_dc[:10]), np.asarray(m.obj_dc[:10]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2.opacity_logit[:10]), np.asarray(m.opacity_logit[:10]), atol=1e-6
+    )
+
+
+def test_knn_matches_bruteforce(rng):
+    pts = rng.normal(size=(300, 3)).astype(np.float32)
+    d2, idx = knn(jnp.asarray(pts), jnp.asarray(pts), k=4, chunk=128)
+    # brute force
+    D = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    bf_idx = np.argsort(D, axis=1)[:, :4]
+    bf_d2 = np.take_along_axis(D, bf_idx, 1)
+    np.testing.assert_allclose(np.sort(np.asarray(d2), 1), np.sort(bf_d2, 1),
+                               atol=1e-4)
+    m3 = np.asarray(mean_knn3_sqdist(jnp.asarray(pts)))
+    bf_m3 = np.take_along_axis(D, np.argsort(D, 1)[:, 1:4], 1).mean(1)
+    np.testing.assert_allclose(m3, bf_m3, rtol=1e-3, atol=1e-5)
+
+
+def test_associate_timestamps():
+    a = [0.0, 1.0, 2.0, 3.0]
+    b = [0.02, 1.5, 2.95]
+    pairs = associate_timestamps(a, b, max_dt=0.08)
+    assert (0, 0) in pairs and (3, 2) in pairs
+    assert all(abs(a[i] - b[j]) < 0.08 for i, j in pairs)
+
+
+def test_frame_queue(rng):
+    frames = [
+        Frame(
+            image=rng.uniform(size=(3, 8, 8)).astype(np.float32),
+            points=rng.normal(size=(np.random.randint(5, 20), 3)).astype(np.float32),
+            colors=np.zeros((20, 3), np.float32),
+            pose=np.eye(4, dtype=np.float32),
+            timestamp=float(i),
+        )
+        for i in range(4)
+    ]
+    for f in frames:
+        f.colors = np.zeros((len(f.points), 3), np.float32)
+    out = list(FrameQueue(frames, point_budget=16))
+    assert len(out) == 4
+    for f, df in zip(frames, out):
+        n = min(len(f.points), 16)
+        assert int(df.mask.sum()) == n
+        np.testing.assert_allclose(np.asarray(df.points[:n]), f.points[:n], atol=1e-6)
+
+
+def test_project_points_pinhole():
+    pts = np.array([[0.0, 0.0, 2.0], [1.0, 0.5, 2.0]], np.float32)
+    u, v = project_points_pinhole(pts, np.eye(4), 100, 100, 32, 24, 64, 48)
+    assert (u[0], v[0]) == (32, 24)
+    assert (u[1], v[1]) == (63, 47)  # clipped to image bounds
+
+
+def test_label_mapping_vote():
+    prev = np.array([1, 1, 1, 1, 2, 2, 0, 0])
+    curr = np.array([7, 7, 7, 3, 9, 9, 0, 0])
+    mapping = build_label_mapping(prev, curr, threshold=0.5)
+    assert mapping[7] == 1  # 3/4 of prev-label-1 points vote for curr 7
+    assert mapping[9] == 2
+    assert 3 not in mapping
+    mask = np.array([[7, 3], [9, 0]])
+    out = apply_label_mapping(mask, mapping)
+    np.testing.assert_array_equal(out, [[1, 3], [2, 0]])
+
+
+def test_instance_associator_consistency():
+    """Same scene, same mask twice → labels remap to first frame's ids."""
+    rng = np.random.default_rng(0)
+    pts = np.concatenate(
+        [
+            rng.normal([-0.5, 0, 2], 0.05, (50, 3)),
+            rng.normal([0.5, 0, 2], 0.05, (50, 3)),
+        ]
+    ).astype(np.float32)
+    H, W = 48, 64
+    mask1 = np.zeros((H, W), np.int64)
+    mask1[:, :32] = 5
+    mask1[:, 32:] = 9
+    mask2 = np.zeros((H, W), np.int64)
+    mask2[:, :32] = 77  # same segments, new random labels
+    mask2[:, 32:] = 31
+    assoc = InstanceAssociator(threshold=0.5)
+    intr = (60.0, 60.0, 32.0, 24.0)
+    out1 = assoc.associate(pts, mask1, np.eye(4, dtype=np.float32), intr)
+    out2 = assoc.associate(pts, mask2, np.eye(4, dtype=np.float32), intr)
+    np.testing.assert_array_equal(np.unique(out2), np.unique(out1))
+
+
+def test_mask_generator_end_to_end(rng):
+    """Synthetic two-color image → label map with >1 instance, values <100."""
+    img = np.zeros((3, 48, 64), np.float32)
+    img[:, :, :32] = np.array([0.9, 0.1, 0.1])[:, None, None]
+    img[:, :, 32:] = np.array([0.1, 0.1, 0.9])[:, None, None]
+    mg = MaskGenerator(num_classes=100, seed=0)
+    labels = mg.generate_objects(img)
+    assert labels.shape == (48, 64)
+    assert labels.max() < 100 and labels.min() >= 0
+    u = np.unique(labels)
+    assert len(u) >= 2  # at least two instances (or one + background)
+
+
+def test_metrics():
+    from sags_tpu.eval.metrics import mse2psnr, psnr, ssim
+
+    a = np.random.default_rng(0).uniform(0.1, 1.0, (3, 32, 32)).astype(np.float32)
+    assert psnr(a, a) > 60
+    assert abs(mse2psnr(0.01) - 20.0) < 1e-6
+    assert ssim(a, a) > 0.99
+    b = np.clip(a + 0.1, 0, 1)
+    assert psnr(a, b) < psnr(a, a)
+
+
+def test_traj_ate():
+    from sags_tpu.utils.traj import ate_rmse, rpe
+
+    n = 10
+    gt = np.tile(np.eye(4), (n, 1, 1))
+    gt[:, 0, 3] = np.arange(n) * 0.1
+    est = gt.copy()
+    est[:, 1, 3] += 0.02  # constant offset removed by alignment
+    ate, _ = ate_rmse(est, gt, align=True)
+    assert ate < 1e-6
+    ate_na, _ = ate_rmse(est, gt, align=False)
+    assert abs(ate_na - 0.02) < 1e-6
+    t_rpe, r_rpe = rpe(est, gt)
+    assert t_rpe < 1e-6 and r_rpe < 1e-6

@@ -1,0 +1,71 @@
+"""End-to-end pipeline integration tests on the synthetic LIVO-style sequence."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from sags_tpu.core.config import (
+    GICPConfig,
+    KeyframeConfig,
+    MapConfig,
+    RasterizeConfig,
+    SemanticsConfig,
+    SLAMConfig,
+    TrackingConfig,
+)
+from sags_tpu.io.datasets import SyntheticDataset
+from sags_tpu.slam.pipeline import SLAMPipeline
+from sags_tpu.utils.traj import ate_rmse
+
+
+def tiny_cfg(backend="none"):
+    return SLAMConfig(
+        raster=RasterizeConfig(max_tiles_per_gaussian=8, tile_capacity=128, chunk=32),
+        map=MapConfig(initial_capacity=16384, initial_scale=0.08),
+        semantics=SemanticsConfig(cls3d_sample=32, num_classes=24),
+        keyframes=KeyframeConfig(keyframe_freq=2, window=8),
+        tracking=TrackingConfig(backend=backend, max_points=1024),
+        gicp=GICPConfig(max_iterations=24, knn_max_distance=2.0),
+        post_train_iters=0,
+    )
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    ds = SyntheticDataset(n_frames=6, width=96, height=64, n_world=2048,
+                          pts_per_frame=512)
+    return list(ds)
+
+
+@pytest.mark.slow
+def test_pipeline_odometry_mode(dataset):
+    """Tracking 'none' (odometry poses provided, the FAST-LIVO2 contract):
+    map optimization must raise PSNR over the sequence."""
+    cfg = tiny_cfg("none")
+    pipe = SLAMPipeline(cfg, point_budget=512, rng_seed=0)
+    res = pipe.run(dataset, post_train=20)
+    assert res.train_iters > 0
+    assert np.isfinite(res.losses).all()
+    # optimization trends down and the map reconstructs the views
+    third = max(1, len(res.losses) // 3)
+    assert np.mean(res.losses[-third:]) < np.mean(res.losses[:third]), res.losses
+    scores = pipe.evaluate(dataset[:2])
+    assert all(s["psnr"] > 8.5 for s in scores), scores
+    # poses passed through exactly
+    np.testing.assert_allclose(res.poses_est, res.poses_gt, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_pipeline_gicp_tracking():
+    """Scan-to-scan GICP tracking reconstructs the trajectory (config #4).
+    Uses denser, higher-overlap scans than the rendering test — scan-to-scan
+    ICP bias grows with the non-overlap fraction."""
+    ds = list(SyntheticDataset(n_frames=6, width=96, height=64, n_world=4096,
+                               pts_per_frame=1024, step=0.15))
+    cfg = tiny_cfg("gicp")
+    pipe = SLAMPipeline(cfg, point_budget=512, rng_seed=0)
+    res = pipe.run(ds, post_train=0)
+    ate, _ = ate_rmse(res.poses_est, res.poses_gt, align=False)
+    assert ate < 0.12, ate  # total path 0.75 m
