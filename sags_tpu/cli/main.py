@@ -1,0 +1,205 @@
+"""Command-line entry points.
+
+`python -m sags_tpu.cli.main <command>`:
+  run-slam  — online SLAM over a dataset (TUM/Replica/synthetic), the
+              equivalent of `roslaunch gaussian_splatting gaussian_splatting
+              .launch` + the node's run loop.
+  run-gicp  — scan-to-scan odometry over a dataset, the equivalent of
+              `python_tester/gicp_odometry2.py`.
+  render    — render views from a saved PLY map.
+  eval      — PSNR/SSIM (+LPIPS if available) of a saved map against a
+              dataset, the `calc_2d_metric` path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_dataset(args):
+    from sags_tpu.io import datasets as D
+
+    if args.dataset == "synthetic":
+        return list(
+            D.SyntheticDataset(
+                n_frames=args.frames, width=args.width, height=args.height
+            )
+        )
+    if args.dataset == "tum":
+        return list(D.TUMDataset(args.path))
+    if args.dataset == "replica":
+        return list(D.ReplicaDataset(args.path))
+    raise SystemExit(f"unknown dataset {args.dataset}")
+
+
+def cmd_run_slam(args):
+    import jax
+
+    from sags_tpu.core.config import SLAMConfig, preset
+    from sags_tpu.io.ply import save_map_ply
+    from sags_tpu.mapping.gaussian_map import compact
+    from sags_tpu.semantics.masks import MaskGenerator
+    from sags_tpu.slam.pipeline import SLAMPipeline
+    from sags_tpu.utils.traj import ate_rmse
+
+    cfg = preset(args.preset) if args.preset else SLAMConfig()
+    cfg = cfg.replace(
+        tracking=cfg.tracking.__class__(backend=args.tracking),
+        post_train_iters=args.post_train,
+    )
+    frames = _load_dataset(args)
+    mask_gen = MaskGenerator(num_classes=cfg.semantics.num_classes) if args.semantics else None
+    pipe = SLAMPipeline(cfg, mask_generator=mask_gen, point_budget=args.point_budget)
+    t0 = time.perf_counter()
+    res = pipe.run(frames)
+    dt = time.perf_counter() - t0
+    ate, _ = ate_rmse(res.poses_est, res.poses_gt)
+    scores = pipe.evaluate(frames, every=max(1, len(frames) // 5))
+    psnr = float(np.mean([s["psnr"] for s in scores])) if scores else float("nan")
+    print(
+        json.dumps(
+            {
+                "frames": len(frames),
+                "train_iters": res.train_iters,
+                "fps": len(frames) / dt,
+                "ate_rmse": ate,
+                "mean_psnr": psnr,
+                "keyframes": res.n_keyframes,
+            }
+        )
+    )
+    if args.save:
+        save_map_ply(args.save, compact(res.state.map))
+        print(f"saved map to {args.save}", file=sys.stderr)
+
+
+def cmd_run_gicp(args):
+    from sags_tpu.ops.registration import FastGICP, FastVGICP
+    from sags_tpu.utils.traj import ate_rmse
+
+    frames = _load_dataset(args)
+    reg = (FastVGICP if args.method == "vgicp" else FastGICP)()
+    poses = [np.eye(4)]
+    times = []
+    for i in range(1, len(frames)):
+        prev, curr = frames[i - 1], frames[i]
+        Tp = np.asarray(prev.pose)
+        Tc = np.asarray(curr.pose)
+        sp = (prev.points - Tp[:3, 3]) @ Tp[:3, :3]
+        sc = (curr.points - Tc[:3, 3]) @ Tc[:3, :3]
+        reg.set_input_target(sp)
+        reg.set_input_source(sc)
+        t0 = time.perf_counter()
+        delta = reg.align(np.eye(4))
+        times.append(time.perf_counter() - t0)
+        poses.append(poses[-1] @ delta)
+    gt = np.stack([np.asarray(f.pose) for f in frames])
+    ate, _ = ate_rmse(np.stack(poses), gt)
+    print(
+        json.dumps(
+            {
+                "frames": len(frames),
+                "method": args.method,
+                "ate_rmse": ate,
+                "mean_align_ms": float(np.mean(times) * 1000) if times else None,
+                "fps": 1.0 / float(np.mean(times)) if times else None,
+            }
+        )
+    )
+
+
+def cmd_render(args):
+    import jax.numpy as jnp
+
+    from sags_tpu.core.camera import make_camera
+    from sags_tpu.core.config import SLAMConfig
+    from sags_tpu.io.ply import load_map_ply
+    from sags_tpu.slam.step import render_map
+
+    cfg = SLAMConfig()
+    m = load_map_ply(args.map)
+    pose = np.eye(4, dtype=np.float32)
+    if args.pose:
+        pose = np.loadtxt(args.pose).reshape(4, 4).astype(np.float32)
+    cam = make_camera(pose[:3, :3], pose[:3, 3], args.width, args.height, 1.2, 0.9)
+    out = render_map(m, cam, cfg)
+    img = np.clip(np.asarray(out.color).transpose(1, 2, 0) * 255, 0, 255).astype(np.uint8)
+    import imageio.v2 as imageio
+
+    imageio.imwrite(args.out, img)
+    print(f"wrote {args.out} ({args.width}x{args.height}, "
+          f"{int(m.count)} gaussians)")
+
+
+def cmd_eval(args):
+    from sags_tpu.core.config import SLAMConfig
+    from sags_tpu.eval.metrics import evaluate_pair
+    from sags_tpu.io.ply import load_map_ply
+    from sags_tpu.slam.pipeline import SLAMPipeline
+
+    cfg = SLAMConfig()
+    frames = _load_dataset(args)
+    m = load_map_ply(args.map)
+    pipe = SLAMPipeline(cfg)
+    pipe.state = pipe.state._replace(map=m)
+    scores = pipe.evaluate(frames, every=args.every)
+    agg = {
+        k: float(np.mean([s[k] for s in scores if s.get(k) is not None] or [np.nan]))
+        for k in ("psnr", "ssim")
+    }
+    print(json.dumps({"n_eval": len(scores), **agg}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="sags-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_dataset_args(sp):
+        sp.add_argument("--dataset", default="synthetic",
+                        choices=["synthetic", "tum", "replica"])
+        sp.add_argument("--path", default="")
+        sp.add_argument("--frames", type=int, default=20)
+        sp.add_argument("--width", type=int, default=160)
+        sp.add_argument("--height", type=int, default=120)
+
+    sp = sub.add_parser("run-slam")
+    add_dataset_args(sp)
+    sp.add_argument("--preset", default="", choices=["", "fast_livo2", "replica", "tum"])
+    sp.add_argument("--tracking", default="none",
+                    choices=["none", "gicp", "vgicp", "esikf"])
+    sp.add_argument("--semantics", action="store_true")
+    sp.add_argument("--post-train", type=int, default=100)
+    sp.add_argument("--point-budget", type=int, default=4096)
+    sp.add_argument("--save", default="")
+    sp.set_defaults(fn=cmd_run_slam)
+
+    sp = sub.add_parser("run-gicp")
+    add_dataset_args(sp)
+    sp.add_argument("--method", default="gicp", choices=["gicp", "vgicp"])
+    sp.set_defaults(fn=cmd_run_gicp)
+
+    sp = sub.add_parser("render")
+    sp.add_argument("--map", required=True)
+    sp.add_argument("--pose", default="")
+    sp.add_argument("--out", default="render.png")
+    sp.add_argument("--width", type=int, default=640)
+    sp.add_argument("--height", type=int, default=480)
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("eval")
+    add_dataset_args(sp)
+    sp.add_argument("--map", required=True)
+    sp.add_argument("--every", type=int, default=1)
+    sp.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,40 +7,37 @@ Pipeline parity (reference file:line cited per stage):
      `auxiliary.h:144-169`), quat→Σ3D (`forward.cu:122-168`), EWA projection
      J·W·Σ·Wᵀ·Jᵀ with +0.3 px low-pass keeping the screen↔depth covariance rows
      czx/cyz (`forward.cu:74-117`), conic inversion, 3σ radius via eigenvalues,
-     tile rect, SH→RGB with clamp tracking (`forward.cu:20-71`). Here: one
-     vmapped/jitted function over all Gaussians.
+     tile rect, SH→RGB with clamp tracking (`forward.cu:20-71`).
 
-  2. **binning** (`rasterizer_impl.cu:70-138,284-327`): the CUDA version builds
-     a dynamic (Gaussian×tile) pair list and radix-sorts 64-bit
-     `tile<<32|depth` keys. XLA needs static shapes, so we bound the pair list
-     (`max_tiles_per_gaussian`) and the per-tile work queue (`tile_capacity`),
-     sort pairs with a multi-operand `lax.sort` on (tile, depth) keys, and
-     scatter the depth-ordered Gaussian ids into a dense [num_tiles,
-     tile_capacity] table. Overflows are *counted and surfaced* (never silent).
+     TPU layout note: all matrix algebra is expanded **longhand over [P]
+     column vectors**. Arrays shaped [P,3] / [P,3,3] tile terribly on TPU
+     (the minor dims pad to the 8×128 register tile — a 42×/137× memory
+     blowup); as flat [P] vectors the whole stage is one fused VPU pass.
 
-  3. **composite** (`forward.cu:280-436`): the CUDA kernel walks each tile's
-     range front-to-back with per-pixel sequential transmittance. The TPU-native
-     reformulation: within a chunk of K Gaussians the per-pixel alphas form a
-     [pixels, K] matrix; front-to-back transmittance is an exclusive cumprod
-     along K; the weighted feature accumulation `Σ wᵢ·featᵢ` is a [pixels,K] @
-     [K,C] **matmul on the MXU**. Chunks scan sequentially with the
-     transmittance as carry. RGB + 16 object channels + covariance-conditioned
-     depth (`forward.cu:401-408`) composite in one fused pass; background depth
-     15 (`forward.cu:426-427`).
+  2. **binning** (`rasterizer_impl.cu:70-138,284-327`): the CUDA version
+     radix-sorts dynamic pair lists on 64-bit `tile<<32|float_bits(depth)`
+     keys. Here: capacity-bounded pair expansion and a **single int32 key**
+     `tile<<16 | quantized_depth16` so `lax.sort` runs with one key operand
+     (16-bit depth quantization over the scene's depth range ⇒ orderings
+     within range/65536 ≈ sub-mm may swap — visually and numerically
+     negligible for compositing). Overflows are *counted and surfaced*.
 
-  4. **backward** (`backward.cu`): instead of re-deriving the atomicAdd scatter
-     gradients, the whole pipeline is jax-differentiable; `jax.checkpoint` on
-     the chunk body reproduces the CUDA strategy of recomputing alphas in the
-     backward sweep. Gradients w.r.t. means/scales/quats/opacity/SH/objects are
-     exact (validated by finite differences in tests) and deterministic —
-     unlike the reference's nondeterministic atomics (`backward.cu:586-677`).
+  3. **composite** (`forward.cu:280-436`): front-to-back compositing as
+     exclusive cumprod over chunk alphas + a per-tile [pixels,K]@[K,C]
+     **MXU matmul**. All per-Gaussian data is pre-packed into one [P,32]
+     row-array so each chunk issues a single aligned row gather. RGB + 16
+     object channels + covariance-conditioned depth (`forward.cu:401-408`)
+     composite in one pass; background depth 15 (`forward.cu:426-427`).
 
-Known microscopic semantic deviation (documented, tested to be <1e-4 weight):
-the CUDA depth path keeps a *separate* transmittance T_d whose update can
-diverge from T only when a Gaussian is rejected by the 1e-4 transmittance floor
-and a later one is accepted (`forward.cu:393-408`); we use a single
-transmittance for both, which matches the CUDA output everywhere except that
-measure-zero band.
+  4. **backward** (`backward.cu`): the pipeline is jax-differentiable;
+     `jax.checkpoint` on the chunk body reproduces the CUDA recompute
+     strategy. Gradients are exact (finite-difference tested) and
+     deterministic — unlike the reference's atomics (`backward.cu:586-677`).
+
+Known microscopic semantic deviation (documented; tested <1e-4 weight): the
+CUDA depth path keeps a separate transmittance T_d that can diverge from T
+only in a measure-zero rejection band (`forward.cu:393-408`); we use one
+transmittance for both.
 """
 
 from __future__ import annotations
@@ -51,44 +48,52 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-# Geometry and compositing must not silently drop to bf16 on TPU.
-_HI = jax.lax.Precision.HIGHEST
-
 from sags_tpu.core import sh as shlib
 from sags_tpu.core.camera import Camera, ndc2pix
 from sags_tpu.core.config import RasterizeConfig
-from sags_tpu.core.transforms import quat_normalize, quat_to_rotmat
+from sags_tpu.core.transforms import quat_normalize
+
+# Geometry must not silently drop to bf16 on TPU.
+_HI = jax.lax.Precision.HIGHEST
 
 
 class Preprocessed(NamedTuple):
-    mean2d: jax.Array  # [P,2] pixel coords
-    depth: jax.Array  # [P] camera-space z
-    conic: jax.Array  # [P,3] (a,b,c) inverse 2D covariance
-    cov_zx_yz: jax.Array  # [P,2] screen↔depth covariance rows (czx, cyz)
-    opacity: jax.Array  # [P]
+    """Per-Gaussian screen-space quantities, as flat [P] columns."""
+
+    mx: jax.Array
+    my: jax.Array
+    depth: jax.Array
+    ca: jax.Array  # conic a,b,c
+    cb: jax.Array
+    cc: jax.Array
+    czx: jax.Array  # screen↔depth covariance rows
+    cyz: jax.Array
+    opacity: jax.Array
     color: jax.Array  # [P,3]
     radius: jax.Array  # [P] int32
-    rect_min: jax.Array  # [P,2] int32 (tx,ty)
-    rect_max: jax.Array  # [P,2] int32
-    valid: jax.Array  # [P] bool
-    clamped: jax.Array  # [P,3] bool (SH clamp mask)
+    rmin_x: jax.Array
+    rmin_y: jax.Array
+    rmax_x: jax.Array
+    rmax_y: jax.Array
+    valid: jax.Array
+    clamped: jax.Array  # [P,3] SH clamp mask
 
 
 class RenderOutput(NamedTuple):
     color: jax.Array  # [3,H,W]
     depth: jax.Array  # [1,H,W]
     objects: jax.Array  # [O,H,W]
-    alpha: jax.Array  # [1,H,W] accumulated alpha (1 - final_T)
+    alpha: jax.Array  # [1,H,W] accumulated alpha
     final_T: jax.Array  # [H,W]
     radii: jax.Array  # [P] int32
-    is_used: jax.Array  # [P] bool (tiles_touched > 0, `forward.cu:274`)
-    n_binned: jax.Array  # scalar int32: accepted (gaussian, tile) pairs
-    overflow_rect: jax.Array  # pairs dropped by max_tiles_per_gaussian
-    overflow_tile: jax.Array  # pairs dropped by tile_capacity
+    is_used: jax.Array  # [P] bool (`forward.cu:274`)
+    n_binned: jax.Array
+    overflow_rect: jax.Array
+    overflow_tile: jax.Array
 
 
 # ---------------------------------------------------------------------------
-# Stage 1: preprocess
+# Stage 1: preprocess (longhand column-vector math)
 # ---------------------------------------------------------------------------
 
 
@@ -105,82 +110,110 @@ def preprocess(
     cov3d_precomp: Optional[jax.Array] = None,
     active_mask: Optional[jax.Array] = None,
 ) -> Preprocessed:
-    """Per-Gaussian projection. All inputs post-activation (exp/sigmoid/normalize).
-
-    `active_mask` culls map slots that hold no live Gaussian (fixed-capacity
-    map buffers, see `sags_tpu.mapping.gaussian_map`).
-    """
+    """Per-Gaussian projection. Inputs post-activation; `active_mask` culls
+    dead fixed-capacity map slots."""
     P = means3d.shape[0]
     W, H = camera.width, camera.height
     tiles_x = -(-W // cfg.tile)
     tiles_y = -(-H // cfg.tile)
 
+    x, y, z = means3d[:, 0], means3d[:, 1], means3d[:, 2]
     V = camera.world_view
-    p_view = jnp.matmul(means3d, V[:3, :3].T, precision=_HI) + V[:3, 3]
-    depth = p_view[:, 2]
+    M = camera.full_proj
+
+    tvx = V[0, 0] * x + V[0, 1] * y + V[0, 2] * z + V[0, 3]
+    tvy = V[1, 0] * x + V[1, 1] * y + V[1, 2] * z + V[1, 3]
+    depth = V[2, 0] * x + V[2, 1] * y + V[2, 2] * z + V[2, 3]
     in_front = depth > cfg.near  # `auxiliary.h:159`
 
-    M = camera.full_proj
-    p_hom = jnp.matmul(means3d, M[:3, :3].T, precision=_HI) + M[:3, 3]
-    p_w = jnp.matmul(means3d, M[3, :3], precision=_HI) + M[3, 3]
-    inv_w = 1.0 / (p_w + 1e-7)  # `forward.cu:217`
-    p_proj = p_hom * inv_w[:, None]
+    hx = M[0, 0] * x + M[0, 1] * y + M[0, 2] * z + M[0, 3]
+    hy = M[1, 0] * x + M[1, 1] * y + M[1, 2] * z + M[1, 3]
+    hw = M[3, 0] * x + M[3, 1] * y + M[3, 2] * z + M[3, 3]
+    inv_w = 1.0 / (hw + 1e-7)  # `forward.cu:217`
+    mean_x = ndc2pix(hx * inv_w, W)
+    mean_y = ndc2pix(hy * inv_w, H)
 
-    # 3D covariance in world, then camera frame: Σ_cam = R_v Σ R_vᵀ
+    # --- Σ3D (world) entries, longhand (`forward.cu:122-168`) ---
     if cov3d_precomp is not None:
-        cov3d = cov3d_precomp
+        c = cov3d_precomp
+        if c.ndim == 3:
+            s00, s01, s02 = c[:, 0, 0], c[:, 0, 1], c[:, 0, 2]
+            s11, s12, s22 = c[:, 1, 1], c[:, 1, 2], c[:, 2, 2]
+        else:  # packed [P,6] upper-triangular, the CUDA layout
+            s00, s01, s02, s11, s12, s22 = (c[:, i] for i in range(6))
     else:
-        R = quat_to_rotmat(quat_normalize(quats))
-        S = scales * cfg.scale_modifier
-        L = R * S[:, None, :]
-        cov3d = jnp.matmul(L, jnp.swapaxes(L, -1, -2), precision=_HI)
-    Rv = V[:3, :3]
-    cov_cam = jnp.einsum("ij,pjk,lk->pil", Rv, cov3d, Rv, precision=_HI)
+        q = quat_normalize(quats)
+        qx, qy, qz, qw = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        r00 = 1 - 2 * (qy * qy + qz * qz)
+        r01 = 2 * (qx * qy - qw * qz)
+        r02 = 2 * (qx * qz + qw * qy)
+        r10 = 2 * (qx * qy + qw * qz)
+        r11 = 1 - 2 * (qx * qx + qz * qz)
+        r12 = 2 * (qy * qz - qw * qx)
+        r20 = 2 * (qx * qz - qw * qy)
+        r21 = 2 * (qy * qz + qw * qx)
+        r22 = 1 - 2 * (qx * qx + qy * qy)
+        m = cfg.scale_modifier
+        v0 = (scales[:, 0] * m) ** 2
+        v1 = (scales[:, 1] * m) ** 2
+        v2 = (scales[:, 2] * m) ** 2
+        # Σ = R diag(v) Rᵀ
+        s00 = r00 * r00 * v0 + r01 * r01 * v1 + r02 * r02 * v2
+        s01 = r00 * r10 * v0 + r01 * r11 * v1 + r02 * r12 * v2
+        s02 = r00 * r20 * v0 + r01 * r21 * v1 + r02 * r22 * v2
+        s11 = r10 * r10 * v0 + r11 * r11 * v1 + r12 * r12 * v2
+        s12 = r10 * r20 * v0 + r11 * r21 * v1 + r12 * r22 * v2
+        s22 = r20 * r20 * v0 + r21 * r21 * v1 + r22 * r22 * v2
 
-    # EWA Jacobian with the reference's fov clamp (`forward.cu:82-92`)
+    # --- Σ_cam = R_v Σ R_vᵀ, longhand with scalar R_v entries ---
+    S = ((s00, s01, s02), (s01, s11, s12), (s02, s12, s22))
+    Rv = [[V[i, k] for k in range(3)] for i in range(3)]
+    # A = R_v Σ
+    A = [[sum(Rv[i][k] * S[k][j] for k in range(3)) for j in range(3)]
+         for i in range(3)]
+    # C = A R_vᵀ — only the entries we need
+    def centry(i, j):
+        return sum(A[i][k] * Rv[j][k] for k in range(3))
+
+    C00, C01, C02 = centry(0, 0), centry(0, 1), centry(0, 2)
+    C11, C12, C22 = centry(1, 1), centry(1, 2), centry(2, 2)
+
+    # --- EWA Jacobian with the reference fov clamp (`forward.cu:82-92`) ---
     fx, fy = camera.focal_x, camera.focal_y
-    tz = depth
-    safe_tz = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+    safe_z = jnp.where(jnp.abs(depth) < 1e-6, 1e-6, depth)
     lim_x = 1.3 * camera.tan_fovx
     lim_y = 1.3 * camera.tan_fovy
-    tx = jnp.clip(p_view[:, 0] / safe_tz, -lim_x, lim_x) * tz
-    ty = jnp.clip(p_view[:, 1] / safe_tz, -lim_y, lim_y) * tz
-    inv_z = 1.0 / safe_tz
-    inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    ones = jnp.ones_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z2], -1),
-            jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], -1),
-            jnp.stack([zeros, zeros, ones], -1),
-        ],
-        axis=-2,
-    )  # [P,3,3]
-    C = jnp.matmul(jnp.matmul(J, cov_cam, precision=_HI), jnp.swapaxes(J, -1, -2), precision=_HI)
-    cxx = C[:, 0, 0] + cfg.low_pass
-    cyy = C[:, 1, 1] + cfg.low_pass
-    cxy = C[:, 0, 1]
-    czx = C[:, 0, 2]
-    cyz = C[:, 1, 2]
+    txc = jnp.clip(tvx / safe_z, -lim_x, lim_x) * depth
+    tyc = jnp.clip(tvy / safe_z, -lim_y, lim_y) * depth
+    inv_z = 1.0 / safe_z
+    j00 = fx * inv_z
+    j02 = -fx * txc * inv_z * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * tyc * inv_z * inv_z
+
+    cxx = j00 * j00 * C00 + 2 * j00 * j02 * C02 + j02 * j02 * C22 + cfg.low_pass
+    cyy = j11 * j11 * C11 + 2 * j11 * j12 * C12 + j12 * j12 * C22 + cfg.low_pass
+    cxy = j00 * (j11 * C01 + j12 * C02) + j02 * (j11 * C12 + j12 * C22)
+    czx = j00 * C02 + j02 * C22
+    cyz = j11 * C12 + j12 * C22
 
     det = cxx * cyy - cxy * cxy
     det_ok = det != 0.0  # `forward.cu:237-239`
-    safe_det = jnp.where(det_ok, det, 1.0)
-    conic = jnp.stack([cyy, -cxy, cxx], -1) / safe_det[:, None]
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    ca = cyy * inv_det
+    cb = -cxy * inv_det
+    cc = cxx * inv_det
 
     mid = 0.5 * (cxx + cyy)
     lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam, 0.0)))
 
-    mean2d = jnp.stack([ndc2pix(p_proj[:, 0], W), ndc2pix(p_proj[:, 1], H)], -1)
-
     # Tile rect (`auxiliary.h:51-61`)
     t = float(cfg.tile)
-    rmin_x = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / t), 0, tiles_x).astype(jnp.int32)
-    rmin_y = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / t), 0, tiles_y).astype(jnp.int32)
-    rmax_x = jnp.clip(jnp.floor((mean2d[:, 0] + radius + t - 1) / t), 0, tiles_x).astype(jnp.int32)
-    rmax_y = jnp.clip(jnp.floor((mean2d[:, 1] + radius + t - 1) / t), 0, tiles_y).astype(jnp.int32)
+    rmin_x = jnp.clip(jnp.floor((mean_x - radius) / t), 0, tiles_x).astype(jnp.int32)
+    rmin_y = jnp.clip(jnp.floor((mean_y - radius) / t), 0, tiles_y).astype(jnp.int32)
+    rmax_x = jnp.clip(jnp.floor((mean_x + radius + t - 1) / t), 0, tiles_x).astype(jnp.int32)
+    rmax_y = jnp.clip(jnp.floor((mean_y + radius + t - 1) / t), 0, tiles_y).astype(jnp.int32)
     tiles_touched = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 
     valid = in_front & det_ok & (tiles_touched > 0)
@@ -191,66 +224,71 @@ def preprocess(
         color = colors
         clamped = jnp.zeros((P, 3), bool)
     elif shs is not None:
-        color, clamped = shlib.sh_to_color(sh_degree, shs, means3d, camera.cam_center)
+        if sh_degree == 0:
+            # [P,3,1] SH tensors tile catastrophically on TPU; degree 0 is a
+            # closed form (`computeColorFromSH` with only the C0 term).
+            raw = shlib.C0 * shs[:, :, 0] + 0.5
+            clamped = raw < 0.0
+            color = jnp.maximum(raw, 0.0)
+        else:
+            color, clamped = shlib.sh_to_color(
+                sh_degree, shs, means3d, camera.cam_center
+            )
     else:
         color = jnp.ones((P, 3), means3d.dtype)
         clamped = jnp.zeros((P, 3), bool)
 
     return Preprocessed(
-        mean2d=mean2d,
-        depth=depth,
-        conic=conic,
-        cov_zx_yz=jnp.stack([czx, cyz], -1),
-        opacity=opacities,
-        color=color,
+        mx=mean_x, my=mean_y, depth=depth, ca=ca, cb=cb, cc=cc,
+        czx=czx, cyz=cyz, opacity=opacities, color=color,
         radius=jnp.where(valid, radius, 0.0).astype(jnp.int32),
-        rect_min=jnp.stack([rmin_x, rmin_y], -1),
-        rect_max=jnp.stack([rmax_x, rmax_y], -1),
-        valid=valid,
-        clamped=clamped,
+        rmin_x=rmin_x, rmin_y=rmin_y, rmax_x=rmax_x, rmax_y=rmax_y,
+        valid=valid, clamped=clamped,
     )
 
 
 # ---------------------------------------------------------------------------
-# Stage 2: binning (capacity-bounded pair sort → dense per-tile tables)
+# Stage 2: binning (single-key sort → dense per-tile tables)
 # ---------------------------------------------------------------------------
 
 
 def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeConfig):
-    """Build the per-tile, depth-sorted work table.
-
-    Replaces cub radix sort over `tile<<32|depth` keys
-    (`rasterizer_impl.cu:284-327`) with `lax.sort` on (tile, depth) operand
-    keys plus a rank scatter. Integer outputs ⇒ no gradients flow here.
-    """
-    P = pre.mean2d.shape[0]
+    """Depth-ordered per-tile work table via one fused int32 sort key."""
+    P = pre.mx.shape[0]
     MT = cfg.max_tiles_per_gaussian
     K = cfg.tile_capacity
     NT = tiles_x * tiles_y
+    assert NT < (1 << 15), "tile<<16 key packing supports up to 32767 tiles"
 
-    rect_w = (pre.rect_max[:, 0] - pre.rect_min[:, 0]).astype(jnp.int32)
-    rect_h = (pre.rect_max[:, 1] - pre.rect_min[:, 1]).astype(jnp.int32)
+    rect_w = pre.rmax_x - pre.rmin_x
+    rect_h = pre.rmax_y - pre.rmin_y
     n_rect = rect_w * rect_h
     overflow_rect = jnp.sum(jnp.where(pre.valid, jnp.maximum(n_rect - MT, 0), 0))
 
-    t_idx = jnp.arange(MT, dtype=jnp.int32)[None, :]  # [1,MT]
+    # 16-bit depth quantization over the valid depth range.
+    depth = jax.lax.stop_gradient(pre.depth)
+    big = jnp.float32(3e38)
+    dmin = jnp.min(jnp.where(pre.valid, depth, big))
+    dmax = jnp.max(jnp.where(pre.valid, depth, -big))
+    dq = jnp.clip(
+        (depth - dmin) / jnp.maximum(dmax - dmin, 1e-9) * 65535.0, 0.0, 65535.0
+    ).astype(jnp.int32)
+
+    t_idx = jnp.arange(MT, dtype=jnp.int32)[None, :]
     safe_w = jnp.maximum(rect_w, 1)[:, None]
-    tx = pre.rect_min[:, 0:1] + t_idx % safe_w
-    ty = pre.rect_min[:, 1:2] + t_idx // safe_w
+    tx = pre.rmin_x[:, None] + t_idx % safe_w
+    ty = pre.rmin_y[:, None] + t_idx // safe_w
     pair_ok = pre.valid[:, None] & (t_idx < n_rect[:, None])
     tile_id = jnp.where(pair_ok, ty * tiles_x + tx, NT).astype(jnp.int32)
 
-    depth = jnp.where(pair_ok, pre.depth[:, None], jnp.inf).astype(jnp.float32)
+    key = (tile_id << 16) | jnp.where(pair_ok, dq[:, None], 0)
     gid = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None], (P, MT))
 
-    tile_flat = tile_id.reshape(-1)
-    depth_flat = jax.lax.stop_gradient(depth.reshape(-1))
-    gid_flat = gid.reshape(-1)
-
-    tile_s, _, gid_s = jax.lax.sort((tile_flat, depth_flat, gid_flat), num_keys=2)
+    key_s, gid_s = jax.lax.sort((key.reshape(-1), gid.reshape(-1)), num_keys=1)
+    tile_s = key_s >> 16
 
     # Rank within tile = position − first-occurrence index of that tile.
-    starts = jnp.searchsorted(tile_s, jnp.arange(NT + 1, dtype=jnp.int32))
+    starts = jnp.searchsorted(key_s, jnp.arange(NT + 1, dtype=jnp.int32) << 16)
     rank = jnp.arange(tile_s.shape[0], dtype=jnp.int32) - starts[jnp.clip(tile_s, 0, NT)]
 
     in_range = tile_s < NT
@@ -258,7 +296,6 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeC
     overflow_tile = jnp.sum(in_range & (rank >= K))
     n_binned = jnp.sum(in_range)
 
-    # Scatter into [NT+1, K]; overflowing / invalid entries land in row NT.
     row = jnp.where(fits, tile_s, NT)
     col = jnp.where(fits, rank, 0)
     table = jnp.full((NT + 1, K), -1, jnp.int32)
@@ -270,12 +307,39 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeC
 
 
 # ---------------------------------------------------------------------------
-# Stage 3: compositing (cumprod + MXU matmul per chunk)
+# Stage 3: compositing (packed row gather + cumprod + MXU matmul)
 # ---------------------------------------------------------------------------
+
+# Packed per-Gaussian row layout for compositing: one aligned gather per chunk.
+#   [0] mx  [1] my  [2] ca  [3] cb  [4] cc  [5] opacity
+#   [6:6+CF] features: rgb(3) | objects(O) | dz0 | A | B | 1 | zero-pad
+_G_HDR = 6
+
+
+def _pack_gaussians(pre: Preprocessed, obj_features: jax.Array) -> jax.Array:
+    O = obj_features.shape[-1]
+    CF = 3 + O + 4
+    width = _G_HDR + CF
+    width = -(-width // 8) * 8  # pad row to a sublane multiple
+
+    # Depth conditioning (`forward.cu:401-403`), expanded around the pixel:
+    #   d_px = (depth − A·mx − B·my) + A·px + B·py
+    A = pre.czx * pre.ca + pre.cyz * pre.cb
+    B = pre.czx * pre.cb + pre.cyz * pre.cc
+    dz0 = pre.depth - A * pre.mx - B * pre.my
+
+    cols = [
+        pre.mx, pre.my, pre.ca, pre.cb, pre.cc, pre.opacity,
+        pre.color[:, 0], pre.color[:, 1], pre.color[:, 2],
+    ]
+    cols += [obj_features[:, i] for i in range(O)]
+    cols += [dz0, A, B, jnp.ones_like(dz0)]
+    pad = width - len(cols)
+    cols += [jnp.zeros_like(dz0)] * pad
+    return jnp.stack(cols, axis=-1)  # [P, width]
 
 
 def _tile_pixel_coords(tiles_x: int, tiles_y: int, tile: int):
-    """Pixel-center coordinates per tile: two [NT, tile*tile] arrays."""
     ty, tx = jnp.meshgrid(jnp.arange(tiles_y), jnp.arange(tiles_x), indexing="ij")
     base_x = (tx.reshape(-1) * tile)[:, None].astype(jnp.float32)
     base_y = (ty.reshape(-1) * tile)[:, None].astype(jnp.float32)
@@ -288,64 +352,32 @@ def _tile_pixel_coords(tiles_x: int, tiles_y: int, tile: int):
 def composite(
     table: jax.Array,
     counts: jax.Array,
-    pre: Preprocessed,
-    obj_features: jax.Array,
+    G: jax.Array,  # [P, width] packed rows from _pack_gaussians
+    n_feat: int,  # CF = 3 + O + 4
     tiles_x: int,
     tiles_y: int,
     cfg: RasterizeConfig,
     mesh=None,
 ):
-    """Front-to-back alpha compositing over all tiles simultaneously.
-
-    Returns (accum [NT, tile², C], T_final [NT, tile²]) where the feature
-    columns are [rgb(3) | objects(O) | depth-aux(3) | alpha(1)].
-    """
+    """Front-to-back compositing over all tiles. Returns
+    (accum [NT, tile², CF], T_final [NT, tile²], px, py)."""
     NT, K_TILE = table.shape
-    O = obj_features.shape[-1]
     K = cfg.chunk
     n_chunks = K_TILE // K
     assert n_chunks * K == K_TILE, "tile_capacity must be a multiple of chunk"
     PIX = cfg.tile * cfg.tile
 
     px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
-    if mesh is not None:
-        from sags_tpu.parallel.mesh import shard_tiles
-
-        px, py = shard_tiles(px, mesh), shard_tiles(py, mesh)
-
-    # Depth conditioning (`forward.cu:401-403`):
-    #   d_px = depth − (czx·ca + cyz·cb)·dx − (czx·cb + cyz·cc)·dy,  d = mean2d − pix
-    # Expand around the pixel: d_px = (depth − A·mx − B·my) + A·px + B·py with
-    #   A = czx·ca + cyz·cb, B = czx·cb + cyz·cc — three extra feature columns.
-    ca, cb, cc = pre.conic[:, 0], pre.conic[:, 1], pre.conic[:, 2]
-    czx, cyz = pre.cov_zx_yz[:, 0], pre.cov_zx_yz[:, 1]
-    A = czx * ca + cyz * cb
-    B = czx * cb + cyz * cc
-    dz0 = pre.depth - A * pre.mean2d[:, 0] - B * pre.mean2d[:, 1]
-
-    feats = jnp.concatenate(
-        [
-            pre.color,
-            obj_features,
-            dz0[:, None],
-            A[:, None],
-            B[:, None],
-            jnp.ones_like(dz0)[:, None],
-        ],
-        axis=-1,
-    )  # [P, C]
-    C = feats.shape[-1]
 
     table_c = table.reshape(NT, n_chunks, K).transpose(1, 0, 2)  # [NC, NT, K]
     if mesh is not None:
-        from sags_tpu.parallel.mesh import shard_tiles
-
-        # tile axis is dim 1 of the chunked table
         import jax.sharding as _sh
 
+        from sags_tpu.parallel.mesh import shard_tiles
+
+        px, py = shard_tiles(px, mesh), shard_tiles(py, mesh)
         table_c = jax.lax.with_sharding_constraint(
-            table_c,
-            _sh.NamedSharding(mesh, _sh.PartitionSpec(None, "tiles", None)),
+            table_c, _sh.NamedSharding(mesh, _sh.PartitionSpec(None, "tiles", None))
         )
     max_count = jnp.max(counts)
 
@@ -357,19 +389,18 @@ def composite(
 
         def compute(operand):
             T_eff, accum = operand
-            g_xy = pre.mean2d[safe_ids]  # [NT,K,2]
-            g_con = pre.conic[safe_ids]  # [NT,K,3]
-            g_op = pre.opacity[safe_ids]  # [NT,K]
-            g_ft = feats[safe_ids]  # [NT,K,C]
+            Gc = G[safe_ids]  # [NT,K,width] — ONE row gather per chunk
+            gx = Gc[..., 0][:, None, :]
+            gy = Gc[..., 1][:, None, :]
+            g_ca = Gc[..., 2][:, None, :]
+            g_cb = Gc[..., 3][:, None, :]
+            g_cc = Gc[..., 4][:, None, :]
+            g_op = Gc[..., 5][:, None, :]
 
-            dx = g_xy[..., 0][:, None, :] - px[:, :, None]  # [NT,PIX,K]
-            dy = g_xy[..., 1][:, None, :] - py[:, :, None]
-            power = (
-                -0.5
-                * (g_con[..., 0][:, None, :] * dx * dx + g_con[..., 2][:, None, :] * dy * dy)
-                - g_con[..., 1][:, None, :] * dx * dy
-            )  # `forward.cu:365`
-            alpha = jnp.minimum(0.99, g_op[:, None, :] * jnp.exp(power))
+            dx = gx - px[:, :, None]  # [NT,PIX,K]
+            dy = gy - py[:, :, None]
+            power = -0.5 * (g_ca * dx * dx + g_cc * dy * dy) - g_cb * dx * dy
+            alpha = jnp.minimum(0.99, g_op * jnp.exp(power))
             gate = (power <= 0.0) & (alpha >= cfg.alpha_min) & vmask[:, None, :]
             a = jnp.where(gate, alpha, 0.0)
             om = 1.0 - a
@@ -377,26 +408,26 @@ def composite(
             T_exc = T_eff[..., None] * jnp.concatenate(
                 [jnp.ones_like(cum[..., :1]), cum[..., :-1]], axis=-1
             )
-            test = T_exc * om
-            m = gate & (test >= cfg.transmittance_min)
-            w = jnp.where(m, a * T_exc, 0.0)  # [NT,PIX,K]
+            m = gate & (T_exc * om >= cfg.transmittance_min)
+            w = jnp.where(m, a * T_exc, 0.0)
             accum = accum + jnp.einsum(
-                "tpk,tkc->tpc", w, g_ft,
+                "tpk,tkc->tpc", w, Gc[..., _G_HDR:],
                 precision=_HI, preferred_element_type=jnp.float32,
             )
             T_eff = T_eff * jnp.prod(jnp.where(m, om, 1.0), axis=-1)
             return T_eff, accum
 
-        # Skip whole chunks beyond the deepest tile queue (big win online,
-        # where most tiles hold far fewer than tile_capacity Gaussians).
+        # Skip chunks beyond the deepest tile queue (cheap online, where most
+        # tiles hold far fewer than tile_capacity Gaussians).
         T_eff, accum = jax.lax.cond(
             c_idx * K < max_count, compute, lambda op: op, (T_eff, accum)
         )
         return (T_eff, accum), None
 
     body = jax.checkpoint(chunk_body) if cfg.remat else chunk_body
+    CW = G.shape[-1] - _G_HDR
     T0 = jnp.ones((NT, PIX), jnp.float32)
-    acc0 = jnp.zeros((NT, PIX, C), jnp.float32)
+    acc0 = jnp.zeros((NT, PIX, CW), jnp.float32)
     if mesh is not None:
         from sags_tpu.parallel.mesh import shard_tiles
 
@@ -404,11 +435,10 @@ def composite(
     (T_final, accum), _ = jax.lax.scan(
         body, (T0, acc0), (table_c, jnp.arange(n_chunks))
     )
-    return accum, T_final, px, py
+    return accum[..., :n_feat], T_final, px, py
 
 
 def _untile(x: jax.Array, tiles_x: int, tiles_y: int, tile: int, W: int, H: int):
-    """[NT, tile², C] → [H, W, C]."""
     C = x.shape[-1]
     img = x.reshape(tiles_y, tiles_x, tile, tile, C)
     img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tile, tiles_x * tile, C)
@@ -437,12 +467,12 @@ def rasterize(
     active_mask: Optional[jax.Array] = None,
     mesh=None,
 ) -> RenderOutput:
-    """Render Gaussians: the equivalent of `GaussianRasterizer.__call__`
-    (`diff_gaussian_rasterization/__init__.py:166-233`) returning what the
-    reference's `render_4` consumes (`gaussian_renderer/__init__.py:325-480`).
+    """Render Gaussians — the `GaussianRasterizer.__call__` equivalent
+    (`diff_gaussian_rasterization/__init__.py:166-233`) producing what
+    `render_4` consumes (`gaussian_renderer/__init__.py:325-480`).
 
-    All parameter inputs are post-activation. Fully differentiable w.r.t.
-    means3d, opacities, scales, quats, colors/shs and obj_features.
+    Fully differentiable w.r.t. means3d, opacities, scales, quats,
+    colors/shs, obj_features.
     """
     P = means3d.shape[0]
     W, H = camera.width, camera.height
@@ -453,18 +483,20 @@ def rasterize(
         obj_features = jnp.zeros((P, cfg.num_objects), means3d.dtype)
     if bg_color is None:
         bg_color = jnp.zeros(3, means3d.dtype)
+    O = obj_features.shape[-1]
 
     pre = preprocess(
         means3d, opacities, scales, quats, camera, cfg,
-        colors=colors, shs=shs, sh_degree=sh_degree, cov3d_precomp=cov3d_precomp,
-        active_mask=active_mask,
+        colors=colors, shs=shs, sh_degree=sh_degree,
+        cov3d_precomp=cov3d_precomp, active_mask=active_mask,
     )
     table, counts, n_binned, ov_rect, ov_tile = bin_gaussians(pre, tiles_x, tiles_y, cfg)
+    G = _pack_gaussians(pre, obj_features)
+    n_feat = 3 + O + 4
     accum, T_final, px, py = composite(
-        table, counts, pre, obj_features, tiles_x, tiles_y, cfg, mesh=mesh
+        table, counts, G, n_feat, tiles_x, tiles_y, cfg, mesh=mesh
     )
 
-    O = obj_features.shape[-1]
     rgb = accum[..., :3]
     obj = accum[..., 3 : 3 + O]
     dz, wA, wB, acc_alpha = (
@@ -498,7 +530,7 @@ def rasterize(
 
 
 def mark_visible(means3d: jax.Array, camera: Camera, near: float = 0.2) -> jax.Array:
-    """`markVisible` equivalent (`rasterize_points.cu:218-237`): frustum check."""
+    """`markVisible` equivalent (`rasterize_points.cu:218-237`)."""
     V = camera.world_view
     z = means3d @ V[2, :3] + V[2, 3]
     return z > near
