@@ -253,9 +253,19 @@ def preprocess(
 
 
 def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeConfig):
-    """Depth-ordered per-tile work table via one fused int32 sort key."""
+    """Depth-ordered per-tile work table via one fused int32 sort key.
+
+    Pair expansion is a static R×R offset window (R = √max_tiles_per_gaussian)
+    anchored at each Gaussian's rect min: every offset is a compile-time
+    constant, so the expansion is MT broadcast adds over [P] lanes — no
+    dynamic integer division, no lane-padded [P,MT] tensors (pairs are laid
+    out [MT, P] so P rides the 128-lane axis). Gaussians whose rect exceeds
+    the window are clipped and counted in `overflow_rect`.
+    """
     P = pre.mx.shape[0]
     MT = cfg.max_tiles_per_gaussian
+    R = int(round(MT ** 0.5))
+    assert R * R == MT, "max_tiles_per_gaussian must be a perfect square"
     K = cfg.tile_capacity
     NT = tiles_x * tiles_y
     assert NT < (1 << 15), "tile<<16 key packing supports up to 32767 tiles"
@@ -263,7 +273,8 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeC
     rect_w = pre.rmax_x - pre.rmin_x
     rect_h = pre.rmax_y - pre.rmin_y
     n_rect = rect_w * rect_h
-    overflow_rect = jnp.sum(jnp.where(pre.valid, jnp.maximum(n_rect - MT, 0), 0))
+    covered = jnp.minimum(rect_w, R) * jnp.minimum(rect_h, R)
+    overflow_rect = jnp.sum(jnp.where(pre.valid, n_rect - covered, 0))
 
     # 16-bit depth quantization over the valid depth range.
     depth = jax.lax.stop_gradient(pre.depth)
@@ -274,35 +285,44 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeC
         (depth - dmin) / jnp.maximum(dmax - dmin, 1e-9) * 65535.0, 0.0, 65535.0
     ).astype(jnp.int32)
 
-    t_idx = jnp.arange(MT, dtype=jnp.int32)[None, :]
-    safe_w = jnp.maximum(rect_w, 1)[:, None]
-    tx = pre.rmin_x[:, None] + t_idx % safe_w
-    ty = pre.rmin_y[:, None] + t_idx // safe_w
-    pair_ok = pre.valid[:, None] & (t_idx < n_rect[:, None])
-    tile_id = jnp.where(pair_ok, ty * tiles_x + tx, NT).astype(jnp.int32)
-
-    key = (tile_id << 16) | jnp.where(pair_ok, dq[:, None], 0)
-    gid = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None], (P, MT))
+    base_key = dq  # low 16 bits, shared by all of a Gaussian's pairs
+    gid_row = jnp.arange(P, dtype=jnp.int32)
+    keys = []
+    for j in range(MT):
+        dx_j, dy_j = j % R, j // R  # static offsets
+        ok = pre.valid & (dx_j < rect_w) & (dy_j < rect_h)
+        tile_id = (pre.rmin_y + dy_j) * tiles_x + (pre.rmin_x + dx_j)
+        keys.append(jnp.where(ok, (tile_id << 16) | base_key, NT << 16))
+    key = jnp.stack(keys, axis=0)  # [MT, P] — P on the lane axis
+    gid = jnp.broadcast_to(gid_row[None, :], (MT, P))
 
     key_s, gid_s = jax.lax.sort((key.reshape(-1), gid.reshape(-1)), num_keys=1)
-    tile_s = key_s >> 16
 
-    # Rank within tile = position − first-occurrence index of that tile.
     starts = jnp.searchsorted(key_s, jnp.arange(NT + 1, dtype=jnp.int32) << 16)
-    rank = jnp.arange(tile_s.shape[0], dtype=jnp.int32) - starts[jnp.clip(tile_s, 0, NT)]
+    seg = starts[1:] - starts[:-1]
+    overflow_tile = jnp.sum(jnp.maximum(seg - K, 0))
+    n_binned = starts[NT]
+    counts = jnp.minimum(seg, K)[:NT]
 
-    in_range = tile_s < NT
-    fits = in_range & (rank < K)
-    overflow_tile = jnp.sum(in_range & (rank >= K))
-    n_binned = jnp.sum(in_range)
+    if jax.default_backend() == "tpu":
+        # Contiguous segments ⇒ one DMA per tile (XLA scatter/gather of ~2M
+        # scalars costs ~20 ms here; the Pallas fill is sub-ms).
+        from sags_tpu.ops.pallas_binning import fill_table
 
-    row = jnp.where(fits, tile_s, NT)
-    col = jnp.where(fits, rank, 0)
-    table = jnp.full((NT + 1, K), -1, jnp.int32)
-    table = table.at[row, col].set(jnp.where(fits, gid_s, -1), mode="drop")
-    table = table[:NT]
+        table = fill_table(gid_s, starts, NT, K)
+    else:
+        tile_s = key_s >> 16
+        rank = (
+            jnp.arange(tile_s.shape[0], dtype=jnp.int32)
+            - starts[jnp.clip(tile_s, 0, NT)]
+        )
+        fits = (tile_s < NT) & (rank < K)
+        row = jnp.where(fits, tile_s, NT)
+        col = jnp.where(fits, rank, 0)
+        table = jnp.full((NT + 1, K), -1, jnp.int32)
+        table = table.at[row, col].set(jnp.where(fits, gid_s, -1), mode="drop")
+        table = table[:NT]
 
-    counts = jnp.minimum(starts[1:] - starts[:-1], K)[:NT]
     return table, counts, n_binned, overflow_rect, overflow_tile
 
 
