@@ -18,7 +18,75 @@ import time
 import numpy as np
 
 
+def bench_train():
+    """Map-optimization rate: fused slam_step iterations/sec at the reference
+    operating point (640x512, the SLAM node's image size)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sags_tpu.core.camera import make_camera
+    from sags_tpu.core.config import MapConfig, RasterizeConfig, SLAMConfig
+    from sags_tpu.slam import step as slam
+
+    P = int(os.environ.get("SAGS_BENCH_GAUSSIANS", 131072))
+    W = int(os.environ.get("SAGS_BENCH_W", 640))
+    H = int(os.environ.get("SAGS_BENCH_H", 512))
+    iters = int(os.environ.get("SAGS_BENCH_ITERS", 20))
+
+    cfg = SLAMConfig(
+        raster=RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=512,
+                               chunk=64),
+        map=MapConfig(initial_capacity=P),
+    )
+    rng = np.random.default_rng(0)
+    z = rng.uniform(2.0, 12.0, (P, 1))
+    xy = rng.uniform(-0.55, 0.55, (P, 2)) * z * np.array([1.25, 1.0])
+    pts = np.concatenate([xy, z], 1).astype(np.float32)
+    cols = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+
+    state = slam.init_state(cfg, jax.random.key(0), capacity=P)
+    add = slam.make_add_points(cfg, donate=False)
+    B = 65536
+    for i in range(0, P, B):
+        state, _ = add(state, jnp.asarray(pts[i:i + B]), jnp.asarray(cols[i:i + B]),
+                       jnp.ones(min(B, P - i), bool))
+    scales = np.exp(rng.normal(np.log(0.02), 0.5, (P, 3))).clip(0.004, 0.12)
+    state = state._replace(map=state.map._replace(
+        log_scales=jnp.where(state.map.active[:, None],
+                             jnp.log(jnp.asarray(scales, jnp.float32)),
+                             state.map.log_scales)))
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                      W, H, 1.2, 0.9)
+    gt_img = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
+    gt_obj = jnp.zeros((H, W), jnp.int32)
+    stepfn = slam.make_slam_step(cfg, donate=False)
+
+    state, m = stepfn(state, cam, gt_img, gt_obj)
+    jax.block_until_ready(m.loss)
+    # per-iteration sync: async dispatch through remote runtimes can make
+    # end-only timing wildly optimistic
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, m = stepfn(state, cam, gt_img, gt_obj)
+        float(m.loss)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    hz = 1.0 / dt
+    print(json.dumps({
+        "metric": f"map_opt_iters_per_sec_{W}x{H}_{P//1024}k",
+        "value": round(hz, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(hz / 10.0, 3),  # >=10 Hz map-opt target
+    }))
+    print(f"# slam_step {dt*1000:.1f} ms, loss={float(m.loss):.4f}, "
+          f"active={int(m.n_active)}, device={jax.devices()[0].platform}",
+          file=sys.stderr)
+
+
 def main():
+    if os.environ.get("SAGS_BENCH_MODE", "render") == "train":
+        return bench_train()
     import jax
     import jax.numpy as jnp
 
@@ -34,12 +102,15 @@ def main():
     chunk = int(os.environ.get("SAGS_BENCH_CHUNK", 64))
 
     rng = np.random.default_rng(0)
-    # A 720p-filling scene: gaussians spread over the frustum, small scales so
-    # per-tile queues stay realistic (indoor SLAM operating point).
+    # A 720p-filling scene at the SLAM operating point: the reference seeds
+    # Gaussians at 0.01 world scale (`scripts/gaussian_splatting.py:684`) and
+    # densification grows some — log-normal world scales around 0.02 give the
+    # 1-10 px screen footprints real maps have.
     z = rng.uniform(2.0, 12.0, (P, 1))
     xy = rng.uniform(-0.55, 0.55, (P, 2)) * z * np.array([1.6, 0.9])
     means = np.concatenate([xy, z], 1).astype(np.float32)
-    scales = (rng.uniform(0.004, 0.02, (P, 3)) * z).astype(np.float32)
+    scales = np.exp(rng.normal(np.log(0.02), 0.5, (P, 3))).clip(0.004, 0.12)
+    scales = scales.astype(np.float32)
     quats = rng.normal(size=(P, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
     opac = rng.uniform(0.3, 0.9, (P,)).astype(np.float32)
@@ -66,11 +137,18 @@ def main():
     jax.block_until_ready(out)
     n_binned, overflow = int(out[2]), int(out[3])
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = render(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    # vary inputs + sync per frame: remote runtimes may overlap/dedupe
+    # identical async calls, making end-only timing wildly optimistic
+    variants = [
+        (args[0], args[1] * (1.0 - 0.001 * v), *args[2:]) for v in range(4)
+    ]
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out = render(*variants[i % 4])
+        jax.block_until_ready(out[0])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     fps = 1.0 / dt
 
     result = {

@@ -331,9 +331,11 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeC
 # ---------------------------------------------------------------------------
 
 # Packed per-Gaussian row layout for compositing: one aligned gather per chunk.
-#   [0] mx  [1] my  [2] ca  [3] cb  [4] cc  [5] opacity
-#   [6:6+CF] features: rgb(3) | objects(O) | dz0 | A | B | 1 | zero-pad
-_G_HDR = 6
+#   [0] mx  [1] my  [2] ca  [3] cb  [4] cc  [5] opacity  [6:8] pad
+#   [8:8+CF] features: rgb(3) | objects(O) | dz0 | A | B | 1 | zero-pad
+# (8-column header keeps the feature block sublane-aligned for the Pallas
+# fused compositor, which consumes this layout channel-major.)
+_G_HDR = 8
 
 
 def _pack_gaussians(pre: Preprocessed, obj_features: jax.Array) -> jax.Array:
@@ -348,14 +350,15 @@ def _pack_gaussians(pre: Preprocessed, obj_features: jax.Array) -> jax.Array:
     B = pre.czx * pre.cb + pre.cyz * pre.cc
     dz0 = pre.depth - A * pre.mx - B * pre.my
 
+    zero = jnp.zeros_like(dz0)
     cols = [
-        pre.mx, pre.my, pre.ca, pre.cb, pre.cc, pre.opacity,
+        pre.mx, pre.my, pre.ca, pre.cb, pre.cc, pre.opacity, zero, zero,
         pre.color[:, 0], pre.color[:, 1], pre.color[:, 2],
     ]
     cols += [obj_features[:, i] for i in range(O)]
     cols += [dz0, A, B, jnp.ones_like(dz0)]
     pad = width - len(cols)
-    cols += [jnp.zeros_like(dz0)] * pad
+    cols += [zero] * pad
     return jnp.stack(cols, axis=-1)  # [P, width]
 
 
@@ -380,7 +383,71 @@ def composite(
     mesh=None,
 ):
     """Front-to-back compositing over all tiles. Returns
-    (accum [NT, tile², CF], T_final [NT, tile²], px, py)."""
+    (accum [NT, tile², n_feat], T_final [NT, tile²], px, py).
+
+    On TPU (single-device) the forward runs as the fused Pallas kernel with
+    a custom_vjp whose backward recomputes through the XLA scan — fast
+    forward, exact gradients. The XLA scan is the CPU / sharded path.
+    """
+    px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and mesh is None
+        and table.shape[1] % 128 == 0
+        and cfg.tile * cfg.tile >= 8
+    )
+    if use_pallas:
+        accum, T_final = _composite_pallas_with_xla_vjp(
+            G, table, counts, n_feat, tiles_x, tiles_y, cfg
+        )
+    else:
+        accum, T_final = _composite_core_xla(
+            G, table, counts, n_feat, tiles_x, tiles_y, cfg, mesh
+        )
+    return accum, T_final, px, py
+
+
+def _composite_pallas_with_xla_vjp(G, table, counts, n_feat, tiles_x, tiles_y, cfg):
+    from sags_tpu.ops.pallas_composite import composite_fused
+
+    def primal(G):
+        Gt = G[jnp.maximum(table, 0)].transpose(0, 2, 1)  # [NT, 32, K_TILE]
+        acc, T = composite_fused(
+            Gt, counts, cfg.tile, tiles_x,
+            alpha_min=cfg.alpha_min, t_min=cfg.transmittance_min,
+            chunk=min(256, table.shape[1]),
+        )
+        return acc[..., :n_feat], T
+
+    f = jax.custom_vjp(primal)
+
+    def fwd(G):
+        return primal(G), (G,)
+
+    def bwd(res, cots):
+        (G,) = res
+        _, vjp = jax.vjp(
+            lambda g: _composite_core_xla(
+                g, table, counts, n_feat, tiles_x, tiles_y, cfg, None
+            ),
+            G,
+        )
+        return vjp(cots)
+
+    f.defvjp(fwd, bwd)
+    return f(G)
+
+
+def _composite_core_xla(
+    G: jax.Array,
+    table: jax.Array,
+    counts: jax.Array,
+    n_feat: int,
+    tiles_x: int,
+    tiles_y: int,
+    cfg: RasterizeConfig,
+    mesh=None,
+):
     NT, K_TILE = table.shape
     K = cfg.chunk
     n_chunks = K_TILE // K
@@ -398,7 +465,7 @@ def composite(
         px, py = shard_tiles(px, mesh), shard_tiles(py, mesh)
         table_c = jax.lax.with_sharding_constraint(
             table_c, _sh.NamedSharding(mesh, _sh.PartitionSpec(None, "tiles", None))
-        )
+        )  # px/py only used inside alpha math below
     max_count = jnp.max(counts)
 
     def chunk_body(carry, xs):
@@ -455,7 +522,7 @@ def composite(
     (T_final, accum), _ = jax.lax.scan(
         body, (T0, acc0), (table_c, jnp.arange(n_chunks))
     )
-    return accum[..., :n_feat], T_final, px, py
+    return accum[..., :n_feat], T_final
 
 
 def _untile(x: jax.Array, tiles_x: int, tiles_y: int, tile: int, W: int, H: int):

@@ -22,7 +22,7 @@ from sags_tpu.utils.traj import ate_rmse
 
 def tiny_cfg(backend="none"):
     return SLAMConfig(
-        raster=RasterizeConfig(max_tiles_per_gaussian=8, tile_capacity=128, chunk=32),
+        raster=RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=128, chunk=32),
         map=MapConfig(initial_capacity=16384, initial_scale=0.08),
         semantics=SemanticsConfig(cls3d_sample=32, num_classes=24),
         keyframes=KeyframeConfig(keyframe_freq=2, window=8),
