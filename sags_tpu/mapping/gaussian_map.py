@@ -313,8 +313,28 @@ def quat_to_rot_cached(quats):
 
 
 def reset_opacity(m: GaussianMap, ceiling: float = 0.01) -> GaussianMap:
-    """`reset_opacity` (`gaussian_model.py:312-320`): clamp opacity to ≤ ceiling."""
+    """`reset_opacity` (`gaussian_model.py:312-315`): clamp opacity to ≤ ceiling."""
     new_op = jnp.minimum(get_opacity(m), ceiling)
+    return m._replace(opacity_logit=inverse_sigmoid(jnp.clip(new_op, 1e-6, 1 - 1e-6)))
+
+
+def reset_unreliable_opacity(m: GaussianMap, flt: jax.Array,
+                             ceiling: float = 0.01) -> GaussianMap:
+    """`reset_unreliable_opacity` (`gaussian_model.py:317-322`): clamp only
+    the filtered subset."""
+    op = get_opacity(m)
+    new_op = jnp.where(flt, jnp.minimum(op, ceiling), op)
+    return m._replace(opacity_logit=inverse_sigmoid(jnp.clip(new_op, 1e-6, 1 - 1e-6)))
+
+
+def reset_visible_opacity(m: GaussianMap, visibility: jax.Array,
+                          large_scale: float = 0.03) -> GaussianMap:
+    """`reset_visible_opacity` (`gaussian_model.py:324-360`): decay opacity of
+    large visible Gaussians by `min(x, log(1+x))`."""
+    op = get_opacity(m)
+    large = jnp.max(get_scaling(m), axis=-1) > large_scale
+    mask = visibility & large & m.active
+    new_op = jnp.where(mask, jnp.minimum(op, jnp.log1p(op)), op)
     return m._replace(opacity_logit=inverse_sigmoid(jnp.clip(new_op, 1e-6, 1 - 1e-6)))
 
 

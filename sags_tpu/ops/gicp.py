@@ -83,6 +83,15 @@ def estimate_covariances(
     sq_d, idx = knn(far, far, k=k, chunk=1024)  # self included, like kd-tree
     nbr = points[idx]  # [N,k,3]
     reliable = (sq_d < knn_max_distance) & mask[idx] & mask[:, None]
+    # Sparse-neighborhood fallback: with < 3 reliable neighbors the gated
+    # covariance is exactly rank-deficient and NORMALIZED_ELLIPSE degrades it
+    # to 1e-9·I, whose ~1e9 Mahalanobis junk stalls the LM accept test. (The
+    # reference hits the same geometry but reads *uninitialized* Eigen
+    # columns there — `fast_gicp_impl.hpp:409-415` sizes `neighbors` by the
+    # reliable count yet writes at the raw index — so it never sees exact
+    # singularity. We fall back to the ungated k-neighborhood instead.)
+    enough = jnp.sum(reliable, axis=-1) >= 3
+    reliable = reliable | (~enough[:, None] & mask[idx] & mask[:, None])
     n_rel = jnp.maximum(jnp.sum(reliable, axis=-1), 1)
     mean = jnp.sum(jnp.where(reliable[..., None], nbr, 0.0), axis=1) / n_rel[:, None]
     d = jnp.where(reliable[..., None], nbr - mean[:, None], 0.0)

@@ -18,10 +18,17 @@ from sags_tpu.ops.knn import knn
 
 
 def object_ce_loss(logits: jax.Array, labels: jax.Array, num_classes: int) -> jax.Array:
-    """logits [K,H,W], labels [H,W] int → scalar CE / log(K)."""
+    """logits [K,H,W], labels [H,W] int → scalar CE / log(K).
+
+    Gatherless: `take_along_axis` over the class dim costs ~100x the math on
+    TPU (per-element gather + scatter backward); a one-hot select is a fused
+    compare+sum.
+    """
+    K = logits.shape[0]
     logp = jax.nn.log_softmax(logits, axis=0)
-    ce = -jnp.take_along_axis(logp, labels[None], axis=0)[0]
-    return jnp.mean(ce) / jnp.log(jnp.float32(num_classes))
+    onehot = labels[None] == jnp.arange(K, dtype=labels.dtype)[:, None, None]
+    picked = jnp.sum(jnp.where(onehot, logp, 0.0), axis=0)
+    return -jnp.mean(picked) / jnp.log(jnp.float32(num_classes))
 
 
 def loss_cls_3d(

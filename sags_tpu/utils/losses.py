@@ -29,30 +29,33 @@ def l2_loss(pred: jax.Array, gt: jax.Array, mask_zeros: bool = True):
     return jnp.mean(loss)
 
 
-@functools.lru_cache(maxsize=8)
-def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+@functools.lru_cache(maxsize=16)
+def _band_matrix(size: int, window_size: int, sigma: float) -> np.ndarray:
+    """Banded blur matrix B so that (B @ v) == 1-D Gaussian conv with zero
+    padding — the separable half of the SSIM window as a plain matmul
+    (3-channel grouped convs are pathologically slow on TPU; two banded
+    matmuls run on the MXU)."""
     x = np.arange(window_size)
     g = np.exp(-((x - window_size // 2) ** 2) / (2 * sigma**2))
-    g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return w2d
+    g = (g / g.sum()).astype(np.float32)
+    B = np.zeros((size, size), np.float32)
+    half = window_size // 2
+    for i in range(size):
+        for j, w in enumerate(g):
+            k = i + j - half
+            if 0 <= k < size:
+                B[i, k] = w
+    return B
 
 
-def _depthwise_conv(img: jax.Array, window: jax.Array, pad: int) -> jax.Array:
-    """img [C,H,W] -> same-shape depthwise conv with zero padding (as torch)."""
-    C = img.shape[0]
-    lhs = img[None]  # [1,C,H,W]
-    rhs = jnp.tile(window[None, None], (C, 1, 1, 1))  # [C,1,k,k]
-    out = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=C,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[0]
+def _depthwise_conv(img: jax.Array, window_size: int, sigma: float) -> jax.Array:
+    """img [C,H,W] -> separable Gaussian blur via two banded matmuls."""
+    C, H, W = img.shape
+    Bh = jnp.asarray(_band_matrix(H, window_size, sigma))
+    Bw = jnp.asarray(_band_matrix(W, window_size, sigma))
+    out = jnp.einsum("ih,chw->ciw", Bh, img, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("jw,chw->chj", Bw, out,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim(
@@ -68,9 +71,7 @@ def ssim(
     """
     if mask_zeros:
         img = jnp.where(gt != 0, img, 0.0)
-    window = jnp.asarray(_gaussian_window(window_size, sigma))
-    pad = window_size // 2
-    conv = lambda x: _depthwise_conv(x, window, pad)
+    conv = lambda x: _depthwise_conv(x, window_size, sigma)
 
     mu1, mu2 = conv(img), conv(gt)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
