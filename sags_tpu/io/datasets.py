@@ -166,6 +166,75 @@ class ReplicaDataset:
             yield Frame(img, pts, cols, pose, float(i) / 30.0, depth=d)
 
 
+class BlenderDataset:
+    """NeRF-synthetic (`transforms_*.json`) reader — `readNerfSyntheticInfo`
+    (`scene/dataset_readers.py`). White background composite per reference."""
+
+    def __init__(self, root: str, split: str = "train", white_background: bool = False):
+        import json
+
+        self.root = root
+        with open(os.path.join(root, f"transforms_{split}.json")) as f:
+            meta = json.load(f)
+        self.camera_angle_x = float(meta["camera_angle_x"])
+        self.frames_meta = meta["frames"]
+        self.white_background = white_background
+
+    def __len__(self):
+        return len(self.frames_meta)
+
+    def __iter__(self) -> Iterator[Frame]:
+        import imageio.v2 as imageio
+
+        for i, fr in enumerate(self.frames_meta):
+            path = os.path.join(self.root, fr["file_path"])
+            if not os.path.splitext(path)[1]:
+                path += ".png"
+            img = np.asarray(imageio.imread(path), np.float32) / 255.0
+            if img.shape[-1] == 4:  # alpha composite (`dataset_readers.py` NeRF path)
+                bg = 1.0 if self.white_background else 0.0
+                img = img[..., :3] * img[..., 3:4] + bg * (1 - img[..., 3:4])
+            # Blender c2w uses OpenGL axes (y up, z back): flip to our +z-forward
+            c2w = np.asarray(fr["transform_matrix"], np.float32)
+            c2w[:3, 1:3] *= -1
+            yield Frame(
+                image=img.transpose(2, 0, 1).astype(np.float32),
+                points=np.zeros((0, 3), np.float32),
+                colors=np.zeros((0, 3), np.float32),
+                pose=c2w,
+                timestamp=float(i),
+            )
+
+
+def scannetpp_to_traj(transforms_json: str, out_traj: str):
+    """ScanNet++ transforms → traj.txt rows of flattened 4x4 poses
+    (`utils/scannetpp_pose.py` one-off converter)."""
+    import json
+
+    with open(transforms_json) as f:
+        meta = json.load(f)
+    frames = sorted(meta["frames"], key=lambda fr: fr["file_path"])
+    with open(out_traj, "w") as f:
+        for fr in frames:
+            c2w = np.asarray(fr["transform_matrix"], np.float64)
+            c2w[:3, 1:3] *= -1
+            f.write(" ".join(f"{v:.9f}" for v in c2w.reshape(-1)) + "\n")
+
+
+def resolution_policy(width: int, height: int, resolution: int = -1,
+                      cap: int = 1600):
+    """`utils/camera_utils.py:19-60`: -1 caps the long side at 1600 px,
+    positive values divide."""
+    if resolution in (1, 0):
+        return width, height
+    if resolution == -1:
+        if width > cap:
+            scale = width / cap
+            return int(width / scale), int(height / scale)
+        return width, height
+    return int(width / resolution), int(height / resolution)
+
+
 class SyntheticDataset:
     """Procedural LIVO-style sequence with exact ground truth.
 

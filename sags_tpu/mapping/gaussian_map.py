@@ -46,6 +46,7 @@ class GaussianMap(NamedTuple):
     obj_dc: jax.Array  # [N,O] semantic embedding
     active: jax.Array  # [N] bool
     trackable: jax.Array  # [N] bool
+    keyframe_id: jax.Array  # [N] int32 — keyframe that spawned the Gaussian
     count: jax.Array  # scalar int32 — allocated slots
     max_radii2d: jax.Array  # [N] float32
     xyz_grad_accum: jax.Array  # [N] densification stats
@@ -92,6 +93,7 @@ def init_map(capacity: int, cfg: MapConfig) -> GaussianMap:
         obj_dc=jnp.zeros((capacity, cfg.num_objects), jnp.float32),
         active=jnp.zeros((capacity,), bool),
         trackable=jnp.zeros((capacity,), bool),
+        keyframe_id=jnp.full((capacity,), -1, jnp.int32),
         count=jnp.zeros((), jnp.int32),
         max_radii2d=jnp.zeros((capacity,), jnp.float32),
         xyz_grad_accum=jnp.zeros((capacity,), jnp.float32),
@@ -145,6 +147,7 @@ def add_points(
     trackable: Optional[jax.Array] = None,  # [B] bool
     initial_scale: float = 0.01,
     initial_opacity: float = 0.1,
+    keyframe_id=-1,
 ) -> Tuple[GaussianMap, jax.Array]:
     """Append a (masked) batch of Gaussians. Returns (map, n_dropped).
 
@@ -189,6 +192,8 @@ def add_points(
         obj_dc=put(m.obj_dc, obj_dc),
         active=put(m.active, ok),
         trackable=put(m.trackable, trackable & ok),
+        keyframe_id=put(m.keyframe_id,
+                        jnp.full((B,), keyframe_id, jnp.int32)),
         count=m.count + n_added,
         max_radii2d=put(m.max_radii2d, jnp.zeros((B,), jnp.float32)),
         xyz_grad_accum=put(m.xyz_grad_accum, jnp.zeros((B,), jnp.float32)),
@@ -277,6 +282,7 @@ def densify_and_clone_split(
             obj_dc=put(m.obj_dc, m.obj_dc),
             active=put(m.active, ok),
             trackable=put(m.trackable, m.trackable & ok),
+            keyframe_id=put(m.keyframe_id, m.keyframe_id),
             count=m.count + n_added,
             max_radii2d=put(m.max_radii2d, jnp.zeros(B)),
             xyz_grad_accum=put(m.xyz_grad_accum, jnp.zeros(B)),
@@ -419,6 +425,7 @@ def compact(m: GaussianMap, opt_state=None):
         **{f: gather(getattr(m, f)) for f in PARAM_FIELDS},
         active=jnp.asarray(np.arange(N) < n),
         trackable=gather(m.trackable),
+        keyframe_id=gather(m.keyframe_id),
         count=jnp.asarray(n, jnp.int32),
         max_radii2d=gather(m.max_radii2d),
         xyz_grad_accum=gather(m.xyz_grad_accum),
@@ -458,6 +465,14 @@ def grow(m: GaussianMap, new_capacity: int, opt_state=None):
 
 def n_active(m: GaussianMap) -> jax.Array:
     return jnp.sum(m.active.astype(jnp.int32))
+
+
+def gaussians_from_keyframes(m: GaussianMap, min_keyframe_id):
+    """`get_target_gaussians`-style recency filter (`gaussian_model.py`
+    commented block / `keyframe_idx` table): Gaussians spawned at or after a
+    given keyframe."""
+    sel = m.active & (m.keyframe_id >= min_keyframe_id)
+    return m.xyz, get_rotation(m), get_scaling(m), sel
 
 
 def get_trackable_gaussians(m: GaussianMap, opacity_th: float):

@@ -154,7 +154,10 @@ class SLAMPipeline:
             poses_gt.append(np.asarray(frame.pose))
 
             # grow the map with this frame's cloud (`:677-689`)
-            self.state, _ = self.add_fn(self.state, df.points, df.colors, df.mask)
+            self.state, _ = self.add_fn(
+                self.state, df.points, df.colors, df.mask,
+                jnp.int32(frame_idx),
+            )
 
             if frame_idx % cfg.keyframes.keyframe_freq == 0:
                 objects = self._make_objects(frame, pose)

@@ -206,7 +206,11 @@ def make_slam_step(cfg: SLAMConfig, donate: bool = True, mesh=None):
 
 
 def make_add_points(cfg: SLAMConfig, donate: bool = True):
-    fn = lambda s, p, c, m: add_frame_points(s, p, c, m, cfg)
+    import jax.numpy as _jnp
+
+    def fn(s, p, c, m, kf=_jnp.int32(-1)):
+        return add_frame_points(s, p, c, m, cfg, keyframe_id=kf)
+
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
@@ -220,6 +224,7 @@ def add_frame_points(
     scales: Optional[jax.Array] = None,
     z_vals: Optional[jax.Array] = None,
     trackable: Optional[jax.Array] = None,
+    keyframe_id=-1,
 ) -> Tuple[SLAMState, jax.Array]:
     """Per-frame map growth (`scripts/gaussian_splatting.py:677-689`):
     z_vals default ‖p‖/5000, scale 0.01, identity rotation."""
@@ -238,5 +243,6 @@ def add_frame_points(
         trackable=trackable,
         initial_scale=cfg.map.initial_scale,
         initial_opacity=cfg.map.initial_opacity,
+        keyframe_id=keyframe_id,
     )
     return state._replace(map=m, rng=rng), dropped
