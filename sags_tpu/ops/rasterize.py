@@ -381,6 +381,7 @@ def composite(
     tiles_y: int,
     cfg: RasterizeConfig,
     mesh=None,
+    fused=None,
 ):
     """Front-to-back compositing over all tiles. Returns
     (accum [NT, tile², n_feat], T_final [NT, tile²], px, py).
@@ -396,6 +397,11 @@ def composite(
         and table.shape[1] % 128 == 0
         and cfg.tile * cfg.tile >= 8
     )
+    if fused is not None:
+        # Training sets fused=False: under the custom_vjp, a grad pass pays
+        # BOTH the Pallas forward and the XLA recompute — the plain XLA path
+        # computes forward exactly once there. Inference keeps the kernel.
+        use_pallas = use_pallas and fused
     if use_pallas:
         accum, T_final = _composite_pallas_with_xla_vjp(
             G, table, counts, n_feat, tiles_x, tiles_y, cfg
@@ -456,27 +462,33 @@ def _composite_core_xla(
 
     px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
 
-    table_c = table.reshape(NT, n_chunks, K).transpose(1, 0, 2)  # [NC, NT, K]
+    # Pre-gather ALL rows once: the scan then reads contiguous slices, so the
+    # remat backward recomputes from stored xs instead of re-gathering, and
+    # the gather's backward (scatter-add into G) runs once, not per chunk.
+    CW_full = G.shape[-1]
+    Gt3 = G[jnp.maximum(table, 0)]  # [NT, K_TILE, CW]
+    Gt_c = Gt3.reshape(NT, n_chunks, K, CW_full).transpose(1, 0, 2, 3)
+    vm_c = (table >= 0).reshape(NT, n_chunks, K).transpose(1, 0, 2)
     if mesh is not None:
         import jax.sharding as _sh
 
         from sags_tpu.parallel.mesh import shard_tiles
 
         px, py = shard_tiles(px, mesh), shard_tiles(py, mesh)
-        table_c = jax.lax.with_sharding_constraint(
-            table_c, _sh.NamedSharding(mesh, _sh.PartitionSpec(None, "tiles", None))
-        )  # px/py only used inside alpha math below
+        tile_spec = lambda nd: _sh.NamedSharding(
+            mesh, _sh.PartitionSpec(None, "tiles", *([None] * (nd - 2)))
+        )
+        Gt_c = jax.lax.with_sharding_constraint(Gt_c, tile_spec(4))
+        vm_c = jax.lax.with_sharding_constraint(vm_c, tile_spec(3))
     max_count = jnp.max(counts)
 
     def chunk_body(carry, xs):
         T_eff, accum = carry
-        ids, c_idx = xs
-        vmask = ids >= 0
-        safe_ids = jnp.maximum(ids, 0)
+        Gc_in, vmask, c_idx = xs
 
         def compute(operand):
             T_eff, accum = operand
-            Gc = G[safe_ids]  # [NT,K,width] — ONE row gather per chunk
+            Gc = Gc_in  # [NT,K,width] — contiguous scan slice, no gather
             gx = Gc[..., 0][:, None, :]
             gy = Gc[..., 1][:, None, :]
             g_ca = Gc[..., 2][:, None, :]
@@ -520,7 +532,7 @@ def _composite_core_xla(
 
         T0, acc0 = shard_tiles(T0, mesh), shard_tiles(acc0, mesh)
     (T_final, accum), _ = jax.lax.scan(
-        body, (T0, acc0), (table_c, jnp.arange(n_chunks))
+        body, (T0, acc0), (Gt_c, vm_c, jnp.arange(n_chunks))
     )
     return accum[..., :n_feat], T_final
 
@@ -553,6 +565,7 @@ def rasterize(
     cov3d_precomp: Optional[jax.Array] = None,
     active_mask: Optional[jax.Array] = None,
     mesh=None,
+    fused: Optional[bool] = None,
 ) -> RenderOutput:
     """Render Gaussians — the `GaussianRasterizer.__call__` equivalent
     (`diff_gaussian_rasterization/__init__.py:166-233`) producing what
@@ -581,7 +594,7 @@ def rasterize(
     G = _pack_gaussians(pre, obj_features)
     n_feat = 3 + O + 4
     accum, T_final, px, py = composite(
-        table, counts, G, n_feat, tiles_x, tiles_y, cfg, mesh=mesh
+        table, counts, G, n_feat, tiles_x, tiles_y, cfg, mesh=mesh, fused=fused
     )
 
     rgb = accum[..., :3]

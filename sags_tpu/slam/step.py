@@ -68,7 +68,7 @@ def init_state(cfg: SLAMConfig, rng: jax.Array, capacity: Optional[int] = None) 
 
 
 def render_map(m: gm.GaussianMap, camera: Camera, cfg: SLAMConfig, bg_color=None,
-               mesh=None):
+               mesh=None, fused=None):
     """`render_4` equivalent (`gaussian_renderer/__init__.py:325-480`)."""
     return rz.rasterize(
         m.xyz,
@@ -83,6 +83,7 @@ def render_map(m: gm.GaussianMap, camera: Camera, cfg: SLAMConfig, bg_color=None
         bg_color=bg_color,
         active_mask=m.active,
         mesh=mesh,
+        fused=fused,
     )
 
 
@@ -99,7 +100,8 @@ def _loss_fn(
     mesh=None,
 ):
     m = gm.with_params(m, params)
-    out = render_map(m, camera, cfg, mesh=mesh)
+    # fused=False: one XLA forward instead of Pallas fwd + XLA recompute in vjp
+    out = render_map(m, camera, cfg, mesh=mesh, fused=False)
 
     # Photometric (`scripts/gaussian_splatting.py:805-810`)
     _, l1 = l1_loss(out.color, gt_image)
