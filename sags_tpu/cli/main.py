@@ -52,6 +52,11 @@ def cmd_run_slam(args):
         tracking=cfg.tracking.__class__(backend=args.tracking),
         post_train_iters=args.post_train,
     )
+    if args.capacity:
+        import dataclasses
+
+        cfg = cfg.replace(map=dataclasses.replace(cfg.map,
+                                                  initial_capacity=args.capacity))
     frames = _load_dataset(args)
     mask_gen = MaskGenerator(num_classes=cfg.semantics.num_classes) if args.semantics else None
     pipe = SLAMPipeline(cfg, mask_generator=mask_gen, point_budget=args.point_budget)
@@ -175,6 +180,7 @@ def main(argv=None):
     sp.add_argument("--semantics", action="store_true")
     sp.add_argument("--post-train", type=int, default=100)
     sp.add_argument("--point-budget", type=int, default=4096)
+    sp.add_argument("--capacity", type=int, default=0)
     sp.add_argument("--save", default="")
     sp.set_defaults(fn=cmd_run_slam)
 

@@ -24,8 +24,9 @@ class RasterizeConfig:
     num_objects: int = 16  # NUM_OBJECTS (`config.h:16`)
     # Capacity bounds replacing the reference's dynamic `num_rendered`
     # (`rasterizer_impl.cu:288-294`): max tiles one Gaussian may be binned into
+    # (a perfect square — binning enumerates a static R x R offset window)
     # and max Gaussians composited per tile. Overflows are counted and surfaced.
-    max_tiles_per_gaussian: int = 32
+    max_tiles_per_gaussian: int = 36
     tile_capacity: int = 1024
     chunk: int = 64  # Gaussians composited per scan step (matmul K dim)
     bg_depth: float = 15.0  # background depth (`forward.cu:426-427`)

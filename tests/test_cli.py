@@ -1,0 +1,58 @@
+"""CLI smoke tests — drive the entry points as a user would."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def run_cli(*args, timeout=420):
+    out = subprocess.run(
+        [sys.executable, "-m", "sags_tpu.cli.main", *args],
+        capture_output=True, text=True, timeout=timeout, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo", "HOME": "/root"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out
+
+
+@pytest.mark.slow
+def test_run_slam_synthetic(tmp_path):
+    out = run_cli(
+        "run-slam", "--dataset", "synthetic", "--frames", "3",
+        "--width", "64", "--height", "48", "--post-train", "2",
+        "--point-budget", "256", "--capacity", "4096", "--save", str(tmp_path / "map.ply"),
+    )
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["frames"] == 3 and res["train_iters"] >= 1
+    assert np.isfinite(res["ate_rmse"])
+    assert (tmp_path / "map.ply").exists()
+
+    # render from the saved map
+    out2 = run_cli(
+        "render", "--map", str(tmp_path / "map.ply"),
+        "--out", str(tmp_path / "view.png"), "--width", "64", "--height", "48",
+    )
+    assert (tmp_path / "view.png").exists()
+
+    # eval against the dataset
+    out3 = run_cli(
+        "eval", "--map", str(tmp_path / "map.ply"), "--dataset", "synthetic",
+        "--frames", "2", "--width", "64", "--height", "48", "--every", "1",
+    )
+    res3 = json.loads(out3.stdout.strip().splitlines()[-1])
+    assert res3["n_eval"] == 2 and np.isfinite(res3["psnr"])
+
+
+@pytest.mark.slow
+def test_run_gicp_synthetic():
+    out = run_cli(
+        "run-gicp", "--dataset", "synthetic", "--frames", "3",
+        "--width", "64", "--height", "48",
+    )
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["frames"] == 3
+    assert np.isfinite(res["ate_rmse"])
