@@ -36,6 +36,7 @@ class RasterizeConfig:
     low_pass: float = 0.3  # EWA dilation (`forward.cu:114-115`)
     scale_modifier: float = 1.0
     remat: bool = True  # rematerialize compositing chunks in backward
+    pallas_backward: bool = True  # fused Pallas compositing backward on TPU
 
 
 @dataclass(frozen=True)

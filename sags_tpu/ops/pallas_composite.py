@@ -152,3 +152,193 @@ def composite_fused(
         ],
     )(counts.astype(jnp.int32), gt)
     return acc, T[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Fused backward kernel
+# ---------------------------------------------------------------------------
+#
+# Differentiates exactly what the forward computes (same gating structure):
+# per pixel, with gated alphas a_i, within-chunk exclusive transmittance from
+# ALL gated entries and cross-chunk carry from the m-masked product,
+#
+#   ∂L/∂a_i = m_i·T_exc,i·s_i  −  (g_i/om_i)·Σ_{j>i, chunk} w_j s_j
+#             − (m_i/om_i)·( Σ_{j in later chunks} w_j s_j + T_N·dT )
+#
+# with s_i = Σ_c f_{i,c}·dAcc_c, then chained to opacity / conic / mean
+# columns; feature grads are one (CF,PIX)@(PIX,K) matmul. One grid step per
+# tile: a forward sweep records chunk-entry transmittances in VMEM, a reverse
+# sweep accumulates the suffix carry. Replaces the reference's atomicAdd
+# backward (`backward.cu:428-680`) with per-pair gradients + one
+# deterministic scatter-add outside.
+
+
+def _prefix_hs(x, k_iota, K, exclusive=True):
+    """Hillis-Steele prefix sum along the last axis."""
+    inc = x
+    shift = 1
+    while shift < K:
+        inc = inc + jnp.where(k_iota >= shift, pltpu.roll(inc, shift, 1), 0.0)
+        shift *= 2
+    return inc - x if exclusive else inc
+
+
+def _bwd_kernel(counts_ref, gt_ref, dacc_ref, dt_ref, tn_ref, dgt_ref,
+                t_entry_s, carry_s, dg_s, *, tile, tiles_x, alpha_min, t_min,
+                chunk):
+    t = pl.program_id(0)
+    CH, K_TILE = gt_ref.shape[1], gt_ref.shape[2]
+    K = chunk
+    NC = K_TILE // K
+    PIX = tile * tile
+    CF = CH - HDR
+
+    g_all = gt_ref[0]  # [CH, K_TILE]
+    dacc = dacc_ref[0]  # [PIX, CF]
+    dT_px = dt_ref[0]  # [PIX, 1]
+    T_N = tn_ref[0]  # [PIX, 1]
+
+    base_x = ((t % tiles_x) * tile).astype(jnp.float32)
+    base_y = ((t // tiles_x) * tile).astype(jnp.float32)
+    pix_row = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 0)
+    px = base_x + (pix_row % tile).astype(jnp.float32)
+    py = base_y + (pix_row // tile).astype(jnp.float32)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 1)
+
+    def chunk_quants(c, T_entry):
+        """Recompute (a, g, om, log_om, T_exc, m, power, dx, dy) for chunk c."""
+        g = g_all[:, c * K:(c + 1) * K]
+        dx = g[0:1, :] - px
+        dy = g[1:2, :] - py
+        power = -0.5 * (g[2:3, :] * dx * dx + g[4:5, :] * dy * dy) - g[3:4, :] * dx * dy
+        raw = g[5:6, :] * jnp.exp(power)
+        alpha = jnp.minimum(0.99, raw)
+        in_count = (c * K + k_iota) < counts_ref[t]
+        gate = (power <= 0.0) & (alpha >= alpha_min) & in_count
+        a = jnp.where(gate, alpha, 0.0)
+        om = 1.0 - a
+        log_om = jnp.log1p(-a)
+        cum = _prefix_hs(log_om, k_iota, K, exclusive=True)
+        T_exc = T_entry * jnp.exp(cum)
+        m = gate & (T_exc * om >= t_min)
+        clipped = raw >= 0.99
+        return g, dx, dy, a, gate, om, log_om, T_exc, m, clipped
+
+    # ---- forward sweep: record chunk-entry transmittances ----
+    T = jnp.ones((PIX, 1), jnp.float32)
+    for c in range(NC):
+        t_entry_s[:, c:c + 1] = T
+        _, _, _, a, gate, om, log_om, T_exc, m, _ = chunk_quants(c, T)
+        T = T * jnp.exp(jnp.sum(jnp.where(m, log_om, 0.0), axis=1, keepdims=True))
+
+    # ---- reverse sweep ----
+    carry_s[...] = T_N * dT_px  # Σ later-chunk w·s + T_N·dT term
+    for c in reversed(range(NC)):
+        T_entry = t_entry_s[:, c:c + 1]
+        g, dx, dy, a, gate, om, log_om, T_exc, m, clipped = chunk_quants(c, T_entry)
+        feats = g_all[HDR:, c * K:(c + 1) * K]  # [CF, K]
+
+        s = jax.lax.dot_general(
+            dacc, feats, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [PIX, K]
+        w = jnp.where(m, a * T_exc, 0.0)
+        ws = w * s
+        incl = _prefix_hs(ws, k_iota, K, exclusive=False)
+        tot = incl[:, K - 1:K]  # inclusive prefix at the end == chunk total
+        B = tot - incl  # within-chunk suffix Σ_{j>i} ws_j
+        inv_om = 1.0 / om
+        da = (
+            jnp.where(m, T_exc * s, 0.0)
+            - jnp.where(gate, inv_om, 0.0) * B
+            - jnp.where(m, inv_om, 0.0) * carry_s[...]
+        )
+
+        # chain: a = min(0.99, op·exp(power))
+        live = gate & ~clipped
+        dpow = jnp.where(live, da * a, 0.0)  # ∂a/∂power = a
+        # ∂a/∂op = exp(power) = a/op (avoids a second exp)
+        opac_row = g[5:6, :]
+        dop_px = jnp.where(live, da * a / jnp.maximum(opac_row, 1e-12), 0.0)
+
+        dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=0)
+        dcb = jnp.sum(dpow * (-dx * dy), axis=0)
+        dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=0)
+        dmx = jnp.sum(dpow * (-(g[2:3, :] * dx + g[3:4, :] * dy)), axis=0)
+        dmy = jnp.sum(dpow * (-(g[4:5, :] * dy + g[3:4, :] * dx)), axis=0)
+        dop = jnp.sum(dop_px, axis=0)
+
+        dfeats = jax.lax.dot_general(
+            dacc, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [CF, K]
+
+        hdr_grads = jnp.concatenate(
+            [
+                dmx.reshape(1, K), dmy.reshape(1, K), dca.reshape(1, K),
+                dcb.reshape(1, K), dcc.reshape(1, K), dop.reshape(1, K),
+                jnp.zeros((HDR - 6, K), jnp.float32),
+            ],
+            axis=0,
+        )
+        dg_s[:, c * K:(c + 1) * K] = jnp.concatenate([hdr_grads, dfeats], axis=0)
+
+        carry_s[...] += tot
+
+    dgt_ref[0] = dg_s[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "tiles_x", "alpha_min", "t_min", "chunk")
+)
+def composite_fused_bwd(
+    gt: jax.Array,  # [NT, CH, K_TILE]
+    counts: jax.Array,  # [NT]
+    d_accum: jax.Array,  # [NT, PIX, CF] cotangent
+    d_T: jax.Array,  # [NT, PIX] cotangent
+    T_final: jax.Array,  # [NT, PIX] primal output
+    tile: int,
+    tiles_x: int,
+    alpha_min: float = 1.0 / 255.0,
+    t_min: float = 1e-4,
+    chunk: int = 256,
+) -> jax.Array:
+    """Returns dGt [NT, CH, K_TILE]."""
+    NT, CH, K_TILE = gt.shape
+    K = min(chunk, K_TILE)
+    NC = K_TILE // K
+    PIX = tile * tile
+    CF = CH - HDR
+
+    kern = functools.partial(
+        _bwd_kernel, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min,
+        t_min=t_min, chunk=K,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NT,),
+        in_specs=[
+            pl.BlockSpec((1, CH, K_TILE), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, CF), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 1), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 1), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, CH, K_TILE), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((PIX, NC), jnp.float32),       # chunk-entry T
+            pltpu.VMEM((PIX, 1), jnp.float32),        # suffix carry
+            pltpu.VMEM((CH, K_TILE), jnp.float32),    # assembled dGt
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NT, CH, K_TILE), jnp.float32),
+    )(counts.astype(jnp.int32), gt, d_accum, d_T[..., None], T_final[..., None])

@@ -414,31 +414,53 @@ def composite(
 
 
 def _composite_pallas_with_xla_vjp(G, table, counts, n_feat, tiles_x, tiles_y, cfg):
-    from sags_tpu.ops.pallas_composite import composite_fused
+    from sags_tpu.ops.pallas_composite import composite_fused, composite_fused_bwd
+
+    K_chunk = min(256, table.shape[1])
+    safe_table = jnp.maximum(table, 0)
 
     def primal(G):
-        Gt = G[jnp.maximum(table, 0)].transpose(0, 2, 1)  # [NT, 32, K_TILE]
+        Gt = G[safe_table].transpose(0, 2, 1)  # [NT, 32, K_TILE]
         acc, T = composite_fused(
             Gt, counts, cfg.tile, tiles_x,
             alpha_min=cfg.alpha_min, t_min=cfg.transmittance_min,
-            chunk=min(256, table.shape[1]),
+            chunk=K_chunk,
         )
         return acc[..., :n_feat], T
 
     f = jax.custom_vjp(primal)
 
     def fwd(G):
-        return primal(G), (G,)
+        out = primal(G)
+        return out, (G, out[1])
 
     def bwd(res, cots):
-        (G,) = res
-        _, vjp = jax.vjp(
-            lambda g: _composite_core_xla(
-                g, table, counts, n_feat, tiles_x, tiles_y, cfg, None
-            ),
-            G,
+        G, T_final = res
+        d_acc, d_T = cots
+        if not cfg.pallas_backward:
+            _, vjp = jax.vjp(
+                lambda g: _composite_core_xla(
+                    g, table, counts, n_feat, tiles_x, tiles_y, cfg, None
+                ),
+                G,
+            )
+            return vjp((d_acc, d_T))
+        # Fused backward kernel: per-pair gradients, then one deterministic
+        # scatter-add by Gaussian id (vs the reference's atomicAdd).
+        CH = G.shape[-1]
+        CF = CH - 8  # pallas_composite.HDR
+        d_acc_full = jnp.concatenate(
+            [d_acc, jnp.zeros(d_acc.shape[:-1] + (CF - n_feat,), d_acc.dtype)],
+            axis=-1,
         )
-        return vjp(cots)
+        Gt = G[safe_table].transpose(0, 2, 1)
+        dGt = composite_fused_bwd(
+            Gt, counts, d_acc_full, d_T, T_final, cfg.tile, tiles_x,
+            alpha_min=cfg.alpha_min, t_min=cfg.transmittance_min, chunk=K_chunk,
+        )
+        dG_rows = dGt.transpose(0, 2, 1).reshape(-1, CH)
+        dG = jnp.zeros_like(G).at[safe_table.reshape(-1)].add(dG_rows)
+        return (dG,)
 
     f.defvjp(fwd, bwd)
     return f(G)

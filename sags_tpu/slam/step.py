@@ -100,8 +100,10 @@ def _loss_fn(
     mesh=None,
 ):
     m = gm.with_params(m, params)
-    # fused=False: one XLA forward instead of Pallas fwd + XLA recompute in vjp
-    out = render_map(m, camera, cfg, mesh=mesh, fused=False)
+    # With the fused Pallas backward, training runs fully fused; without it,
+    # fused=False avoids paying Pallas fwd + XLA recompute in the vjp.
+    fused = None if cfg.raster.pallas_backward else False
+    out = render_map(m, camera, cfg, mesh=mesh, fused=fused)
 
     # Photometric (`scripts/gaussian_splatting.py:805-810`)
     _, l1 = l1_loss(out.color, gt_image)

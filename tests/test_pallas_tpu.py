@@ -1,0 +1,81 @@
+"""TPU-only parity tests for the Pallas kernels (skipped on CPU backends).
+
+Run these on a TPU host: `JAX_PLATFORMS=<tpu> pytest tests/test_pallas_tpu.py`.
+They compare the fused forward and the fused backward against the XLA
+reference path on the same inputs.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="Pallas TPU kernels require a TPU"
+)
+
+from sags_tpu.core.camera import make_camera
+from sags_tpu.core.config import RasterizeConfig
+from sags_tpu.ops import rasterize as rz
+
+
+def scene(n=8192, W=128, H=96):
+    rng = np.random.default_rng(0)
+    z = rng.uniform(2.0, 10.0, (n, 1))
+    xy = rng.uniform(-0.5, 0.5, (n, 2)) * z * np.array([1.3, 1.0])
+    means = np.concatenate([xy, z], 1).astype(np.float32)
+    scales = (rng.uniform(0.01, 0.04, (n, 3)) * z).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, -1, keepdims=True)
+    opac = rng.uniform(0.3, 0.9, (n,)).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    objs = rng.normal(size=(n, 16)).astype(np.float32)
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                      W, H, 1.2, 0.9)
+    tgt = rng.uniform(0, 1, (3, H, W)).astype(np.float32)
+    return tuple(jnp.asarray(v) for v in (means, opac, scales, quats, colors, objs)), cam, jnp.asarray(tgt)
+
+
+CFG = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=512, chunk=64)
+
+
+def test_fused_forward_matches_xla():
+    A, cam, _ = scene()
+    out_p = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, CFG, colors=a[4], obj_features=a[5],
+        fused=True))(*A)
+    out_x = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, CFG, colors=a[4], obj_features=a[5],
+        fused=False))(*A)
+    np.testing.assert_allclose(np.asarray(out_p.color), np.asarray(out_x.color),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_p.depth), np.asarray(out_x.depth),
+                               atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out_p.final_T), np.asarray(out_x.final_T),
+                               atol=1e-3)
+
+
+def test_fused_backward_matches_xla():
+    A, cam, tgt = scene()
+    cfg_p = dataclasses.replace(CFG, pallas_backward=True)
+    cfg_x = dataclasses.replace(CFG, pallas_backward=False)
+
+    def make_loss(cfg, fused):
+        def loss(m, o, s, q, c, ob):
+            r = rz.rasterize(m, o, s, q, cam, cfg, colors=c, obj_features=ob,
+                             fused=fused)
+            return (jnp.sum((r.color - tgt) ** 2) + 1e-3 * jnp.sum(r.depth ** 2)
+                    + 1e-2 * jnp.sum(r.objects ** 2) + jnp.sum(r.final_T ** 2))
+        return loss
+
+    gp = jax.jit(jax.grad(make_loss(cfg_p, True), argnums=tuple(range(6))))(*A)
+    gx = jax.jit(jax.grad(make_loss(cfg_x, False), argnums=tuple(range(6))))(*A)
+    for name, a, b in zip(["means", "opac", "scales", "quats", "colors", "objs"],
+                          gp, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+        assert rel < 2e-2, (name, rel)
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.999, (name, cos)
