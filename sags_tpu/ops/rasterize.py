@@ -416,7 +416,9 @@ def composite(
 def _composite_pallas_with_xla_vjp(G, table, counts, n_feat, tiles_x, tiles_y, cfg):
     from sags_tpu.ops.pallas_composite import composite_fused, composite_fused_bwd
 
-    K_chunk = min(256, table.shape[1])
+    K_TILE = table.shape[1]
+    K_chunk = 256 if K_TILE % 256 == 0 else 128  # must divide tile_capacity
+    K_chunk = min(K_chunk, K_TILE)
     safe_table = jnp.maximum(table, 0)
 
     def primal(G):
