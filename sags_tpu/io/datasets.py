@@ -247,7 +247,7 @@ class SyntheticDataset:
 
     def __init__(self, n_frames=20, width=160, height=120, n_world=4096,
                  pts_per_frame=2048, seed=0, fovx=1.2, fovy=1.0,
-                 max_range=8.0, step=0.4):
+                 max_range=8.0, step=0.4, clutter=0.0):
         self.n_frames = n_frames
         self.width, self.height = width, height
         self.fovx, self.fovy = fovx, fovy
@@ -264,6 +264,17 @@ class SyntheticDataset:
         y = np.where(wall == 2, -2.0, h * 0.8)
         self.world_xyz = np.stack([x, y, t], -1).astype(np.float32)
         self.world_xyz += rng.normal(0, 0.03, self.world_xyz.shape).astype(np.float32)
+        if clutter > 0:
+            # blobs of structure along the corridor: makes z observable for
+            # point-to-plane tracking (bare corridor walls are all parallel)
+            n_cl = int(n * clutter)
+            n_blobs = max(n_cl // 30, 1)
+            centers = np.stack([
+                rng.uniform(-2, 2, n_blobs), rng.uniform(-1.6, 1.6, n_blobs),
+                rng.uniform(0.5, 19.5, n_blobs)], -1)
+            blob_pts = (centers[rng.integers(0, n_blobs, n_cl)]
+                        + rng.normal(0, 0.15, (n_cl, 3)))
+            self.world_xyz[:n_cl] = blob_pts.astype(np.float32)
         self.world_rgb = rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32)
         self.world_scale = np.full((n, 3), 0.12, np.float32)
         self._rng = rng

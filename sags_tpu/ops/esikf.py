@@ -121,7 +121,7 @@ class ScanUpdateResult(NamedTuple):
     mean_residual: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
+@functools.partial(jax.jit, static_argnames=("num_iters", "min_planarity"))
 def scan_update(
     state: ESIKFState,
     points_body: jax.Array,  # [N,3] LiDAR points in body frame
@@ -130,6 +130,7 @@ def scan_update(
     meas_noise: float = 0.05,
     num_iters: int = 4,
     gate: float = 0.5,
+    min_planarity: float = 0.5,
 ) -> ScanUpdateResult:
     """Iterated point-to-plane update against the voxel surfel map.
 
@@ -158,7 +159,7 @@ def scan_update(
         r_all = jnp.einsum("nfi,nfi->nf", n, q_w[:, None] - c)
         cand_ok = (
             found
-            & (planarity_all[vidx] > 0.5)
+            & (planarity_all[vidx] > min_planarity)
             & (vm.num_points[vidx] >= 3)
         )
         score = jnp.where(cand_ok, jnp.abs(r_all), jnp.inf)

@@ -73,6 +73,9 @@ class SLAMPipeline:
         self._kf_rng = np.random.default_rng(rng_seed)
         self._prev_scan: Optional[np.ndarray] = None
         self._track_T = np.eye(4, dtype=np.float32)
+        self._esikf = None
+        self._track_map = None  # accumulated surfel voxel map for ESIKF
+        self._overflow_strikes = 0
 
     # ------------------------------------------------------------------
     def _camera_for(self, frame: Frame, pose: np.ndarray) -> Camera:
@@ -84,7 +87,9 @@ class SLAMPipeline:
 
     def _track(self, frame: Frame) -> np.ndarray:
         """Estimate the frame pose. 'none' trusts frame.pose (odometry topic);
-        GICP modes run scan-to-scan alignment on sensor-frame points."""
+        GICP modes run scan-to-scan alignment; 'esikf' runs the iterated
+        Kalman update against an accumulated surfel voxel map (the
+        FAST-LIVO2-style front-end)."""
         mode = self.cfg.tracking.backend
         if mode == "none":
             return np.asarray(frame.pose, np.float32)
@@ -97,6 +102,9 @@ class SLAMPipeline:
         pad = lambda a: np.pad(a, ((0, max(0, budget - len(a))), (0, 0)))[:budget]
         msk = np.arange(budget) < min(len(scan), budget)
         scan_p = pad(scan.astype(np.float32))
+
+        if mode == "esikf":
+            return self._track_esikf(scan_p, msk)
 
         if self._prev_scan is None:
             self._prev_scan = (scan_p, msk)
@@ -112,6 +120,68 @@ class SLAMPipeline:
         self._track_T = (self._track_T @ delta).astype(np.float32)
         self._prev_scan = (scan_p, msk)
         return self._track_T.copy()
+
+    def _track_esikf(self, scan_p: np.ndarray, msk: np.ndarray) -> np.ndarray:
+        """ESIKF update vs the accumulated world surfel map."""
+        from sags_tpu.ops import esikf
+
+        if self._esikf is None:
+            self._esikf = esikf.init_state()
+        # constant-position motion model: inflate P each frame (no IMU here;
+        # with IMU, esikf.propagate does this with the real dynamics)
+        q = jnp.concatenate([
+            jnp.full(3, 2e-3), jnp.full(3, 4e-2), jnp.full(3, 1e-4),
+            jnp.full(9, 1e-8),
+        ])
+        self._esikf = self._esikf._replace(P=self._esikf.P + jnp.diag(q))
+        if self._track_map is not None:
+            out = esikf.scan_update(
+                self._esikf, jnp.asarray(scan_p), jnp.asarray(msk),
+                self._track_map, num_iters=5, min_planarity=0.1,
+            )
+            self._esikf = out.state
+        # fold this scan (at the estimated pose) into the surfel map
+        R = np.asarray(self._esikf.R)
+        p = np.asarray(self._esikf.p)
+        world = scan_p @ R.T + p
+        pts_all = (world if self._track_map is None else
+                   np.concatenate([self._map_pts, world]))[-4 * len(scan_p):]
+        self._map_pts = pts_all
+        m_all = np.ones(len(pts_all), bool)
+        covs = gicp_ops.estimate_covariances(
+            jnp.asarray(pts_all), jnp.asarray(m_all),
+            k=10, knn_max_distance=2.0, regularization="none",
+        ).covs
+        self._track_map = gicp_ops.build_voxel_map(
+            jnp.asarray(pts_all), covs, jnp.asarray(m_all),
+            self.cfg.tracking.downsample_resolution * 3, 8192,
+        )
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = p
+        return T
+
+    def _maybe_grow_capacity(self, metrics) -> None:
+        """Overflow-adaptive tile capacity: the render work tables are
+        capacity-bounded with surfaced overflow counters; sustained overflow
+        bumps `tile_capacity` (one recompile) instead of silently dropping."""
+        dropped = int(metrics.overflow_tile)
+        binned = max(int(metrics.n_binned), 1)
+        if dropped > 0.001 * binned:
+            self._overflow_strikes += 1
+        else:
+            self._overflow_strikes = 0
+        if self._overflow_strikes >= 3:
+            import dataclasses
+
+            new_cap = self.cfg.raster.tile_capacity * 2
+            self.cfg = self.cfg.replace(
+                raster=dataclasses.replace(self.cfg.raster, tile_capacity=new_cap)
+            )
+            self.step_fn = slam_step_mod.make_slam_step(
+                self.cfg, donate=False, mesh=self.mesh
+            )
+            self._overflow_strikes = 0
 
     def _make_objects(self, frame: Frame, pose: np.ndarray) -> np.ndarray:
         H, W = frame.image.shape[1:]
@@ -138,6 +208,7 @@ class SLAMPipeline:
         self.state, metrics = self.step_fn(self.state, kf.camera, kf.image, kf.objects)
         self.losses.append(float(metrics.loss))
         self.train_iter += 1
+        self._maybe_grow_capacity(metrics)
         return metrics
 
     # ------------------------------------------------------------------

@@ -69,3 +69,34 @@ def test_pipeline_gicp_tracking():
     res = pipe.run(ds, post_train=0)
     ate, _ = ate_rmse(res.poses_est, res.poses_gt, align=False)
     assert ate < 0.12, ate  # total path 0.75 m
+
+
+@pytest.mark.slow
+def test_pipeline_esikf_tracking():
+    """ESIKF map-based tracking reconstructs the trajectory."""
+    ds = list(SyntheticDataset(n_frames=5, width=96, height=64, n_world=4096,
+                               pts_per_frame=1024, step=0.12, clutter=0.35))
+    cfg = tiny_cfg("esikf")
+    pipe = SLAMPipeline(cfg, point_budget=512, rng_seed=0)
+    res = pipe.run(ds, post_train=0)
+    ate, _ = ate_rmse(res.poses_est, res.poses_gt, align=False)
+    assert ate < 0.15, ate
+
+
+@pytest.mark.slow
+def test_overflow_adaptive_capacity():
+    """Sustained tile-capacity overflow doubles tile_capacity (no silent drop)."""
+    import dataclasses
+
+    ds = list(SyntheticDataset(n_frames=4, width=64, height=48, n_world=4096,
+                               pts_per_frame=1024))
+    cfg = tiny_cfg("none")
+    # deliberately tiny capacity + big splats to force overflow
+    cfg = dataclasses.replace(
+        cfg,
+        raster=dataclasses.replace(cfg.raster, tile_capacity=32, chunk=16),
+        map=dataclasses.replace(cfg.map, initial_scale=0.2, prune_extent=100.0),
+    )
+    pipe = SLAMPipeline(cfg, point_budget=1024, rng_seed=0)
+    res = pipe.run(ds, post_train=6)
+    assert pipe.cfg.raster.tile_capacity > 32, pipe.cfg.raster.tile_capacity
