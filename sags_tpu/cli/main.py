@@ -83,6 +83,32 @@ def cmd_run_slam(args):
         print(f"saved map to {args.save}", file=sys.stderr)
 
 
+def cmd_train(args):
+    """Offline 3DGS optimization over a replayed frame set (configs #2/#3)."""
+    from sags_tpu.core.config import SLAMConfig
+    from sags_tpu.io.ply import save_map_ply
+    from sags_tpu.mapping.gaussian_map import compact, n_active
+    from sags_tpu.slam import offline
+
+    cfg = SLAMConfig()
+    frames = _load_dataset(args)
+    t0 = time.perf_counter()
+    state, losses = offline.train_offline(
+        frames, cfg, iterations=args.iters, capacity=args.capacity or None,
+        log_every=max(args.iters // 10, 1),
+    )
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "iters": args.iters,
+        "final_loss": losses[-1] if losses else None,
+        "active_gaussians": int(n_active(state.map)),
+        "iters_per_sec": args.iters / dt,
+    }))
+    if args.save:
+        save_map_ply(args.save, compact(state.map))
+        print(f"saved map to {args.save}", file=sys.stderr)
+
+
 def cmd_run_gicp(args):
     from sags_tpu.ops.registration import FastGICP, FastVGICP
     from sags_tpu.utils.traj import ate_rmse
@@ -183,6 +209,13 @@ def main(argv=None):
     sp.add_argument("--capacity", type=int, default=0)
     sp.add_argument("--save", default="")
     sp.set_defaults(fn=cmd_run_slam)
+
+    sp = sub.add_parser("train")
+    add_dataset_args(sp)
+    sp.add_argument("--iters", type=int, default=2000)
+    sp.add_argument("--capacity", type=int, default=0)
+    sp.add_argument("--save", default="")
+    sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("run-gicp")
     add_dataset_args(sp)

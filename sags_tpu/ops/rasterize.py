@@ -109,9 +109,16 @@ def preprocess(
     sh_degree: int = 0,
     cov3d_precomp: Optional[jax.Array] = None,
     active_mask: Optional[jax.Array] = None,
+    mean2d_offset: Optional[jax.Array] = None,
 ) -> Preprocessed:
     """Per-Gaussian projection. Inputs post-activation; `active_mask` culls
-    dead fixed-capacity map slots."""
+    dead fixed-capacity map slots.
+
+    `mean2d_offset` [P,2] (zeros) is a gradient probe: d(loss)/d(offset) is
+    the view-space positional gradient that drives densification — the role
+    of the reference's `viewspace_points.retain_grad()` trick
+    (`gaussian_renderer/__init__.py:26-30`).
+    """
     P = means3d.shape[0]
     W, H = camera.width, camera.height
     tiles_x = -(-W // cfg.tile)
@@ -132,6 +139,9 @@ def preprocess(
     inv_w = 1.0 / (hw + 1e-7)  # `forward.cu:217`
     mean_x = ndc2pix(hx * inv_w, W)
     mean_y = ndc2pix(hy * inv_w, H)
+    if mean2d_offset is not None:
+        mean_x = mean_x + mean2d_offset[:, 0]
+        mean_y = mean_y + mean2d_offset[:, 1]
 
     # --- Σ3D (world) entries, longhand (`forward.cu:122-168`) ---
     if cov3d_precomp is not None:
@@ -588,6 +598,7 @@ def rasterize(
     bg_color: Optional[jax.Array] = None,
     cov3d_precomp: Optional[jax.Array] = None,
     active_mask: Optional[jax.Array] = None,
+    mean2d_offset: Optional[jax.Array] = None,
     mesh=None,
     fused: Optional[bool] = None,
 ) -> RenderOutput:
@@ -613,6 +624,7 @@ def rasterize(
         means3d, opacities, scales, quats, camera, cfg,
         colors=colors, shs=shs, sh_degree=sh_degree,
         cov3d_precomp=cov3d_precomp, active_mask=active_mask,
+        mean2d_offset=mean2d_offset,
     )
     table, counts, n_binned, ov_rect, ov_tile = bin_gaussians(pre, tiles_x, tiles_y, cfg)
     G = _pack_gaussians(pre, obj_features)
