@@ -198,8 +198,16 @@ def align_points(
         voxel_resolution=voxel_resolution,
         neighbor_search=neighbor_search_method.lower(),
     )
-    cls = {"GICP": FastGICP, "VGICP": FastVGICP}[method.upper()]
-    reg = cls(cfg)
+    name = method.upper()
+    if name in ("NDT", "NDT_CUDA"):
+        from sags_tpu.ops.ndt import NDT
+
+        reg = NDT(cfg)
+    else:
+        cls = {"GICP": FastGICP, "VGICP": FastVGICP,
+               "VGICP_CUDA": FastVGICP,
+               "GICP_ST": globals().get("FastGICPSingleThread", FastGICP)}[name]
+        reg = cls(cfg)
     if downsample_resolution > 0:
         target = downsample(target, downsample_resolution)
         source = downsample(source, downsample_resolution)
@@ -213,3 +221,22 @@ def downsample(points, resolution: float) -> np.ndarray:
     pts, mask, n = _pad_pow2(np.asarray(points, np.float32))
     out, omask = _g.voxel_downsample(pts, mask, float(resolution), len(pts))
     return np.asarray(out)[np.asarray(omask)]
+
+
+class FastGICPSingleThread(FastGICP):
+    """API alias (`gicp/fast_gicp_st.hpp`): thread count is an XLA concern."""
+
+    method = "gicp_st"
+
+
+class FastVGICPCuda(FastVGICP):
+    """API alias (`gicp/fast_vgicp_cuda.hpp`): the TPU is the accelerator."""
+
+    method = "vgicp_cuda"
+
+
+def NDTCuda(*args, **kw):
+    """API alias for the NDT wrapper (`ndt/ndt_cuda.hpp`)."""
+    from sags_tpu.ops.ndt import NDT
+
+    return NDT(*args, **kw)
