@@ -167,6 +167,33 @@ def cmd_render(args):
           f"{int(m.count)} gaussians)")
 
 
+def cmd_viewer(args):
+    """Serve the map to a SIBR remote viewer (`network_gui` protocol)."""
+    import time as _t
+
+    from sags_tpu.core.config import SLAMConfig
+    from sags_tpu.io.ply import load_map_ply
+    from sags_tpu.slam.step import render_map
+    from sags_tpu.viz.network_gui import NetworkGUI
+
+    cfg = SLAMConfig()
+    m = load_map_ply(args.map)
+    gui = NetworkGUI(port=args.port)
+    print(f"viewer socket on 127.0.0.1:{args.port} "
+          f"({int(m.count)} gaussians)", file=sys.stderr)
+    try:
+        while True:
+            served = gui.serve_once(
+                lambda cam: np.asarray(render_map(m, cam, cfg).color)
+            )
+            if not served:
+                _t.sleep(0.02)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        gui.close()
+
+
 def cmd_eval(args):
     from sags_tpu.core.config import SLAMConfig
     from sags_tpu.eval.metrics import evaluate_pair
@@ -229,6 +256,11 @@ def main(argv=None):
     sp.add_argument("--width", type=int, default=640)
     sp.add_argument("--height", type=int, default=480)
     sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("viewer")
+    sp.add_argument("--map", required=True)
+    sp.add_argument("--port", type=int, default=6009)
+    sp.set_defaults(fn=cmd_viewer)
 
     sp = sub.add_parser("eval")
     add_dataset_args(sp)

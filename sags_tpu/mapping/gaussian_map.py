@@ -218,6 +218,21 @@ def prune_large_and_transparent(
     return m._replace(active=m.active & ~prune)
 
 
+def prune_large_and_transparent2(
+    m: GaussianMap, min_opacity: float, scaling_threshold: float,
+    visibility: jax.Array,
+) -> GaussianMap:
+    """`prune_large_and_transparent2` (`gaussian_model.py:639-651`): shrink
+    large Gaussians to 0.1x instead of deleting them; erase transparent
+    *visible* ones."""
+    scal = get_scaling(m)
+    large = jnp.max(scal, axis=-1) > scaling_threshold
+    new_ls = jnp.where(large[:, None], jnp.log(jnp.maximum(scal * 0.1, 1e-12)),
+                       m.log_scales)
+    transparent = visibility & (get_opacity(m) < min_opacity)
+    return m._replace(log_scales=new_ls, active=m.active & ~transparent)
+
+
 def add_densification_stats(
     m: GaussianMap, mean2d_grad: jax.Array, radii: jax.Array
 ) -> GaussianMap:

@@ -68,8 +68,20 @@ def init_state(cfg: SLAMConfig, rng: jax.Array, capacity: Optional[int] = None) 
 
 
 def render_map(m: gm.GaussianMap, camera: Camera, cfg: SLAMConfig, bg_color=None,
-               mesh=None, fused=None):
-    """`render_4` equivalent (`gaussian_renderer/__init__.py:325-480`)."""
+               mesh=None, fused=None, training_stage: int = 0):
+    """`render_4` equivalent (`gaussian_renderer/__init__.py:325-480`).
+
+    `training_stage` divides the render resolution by 2*stage — the
+    coarse-to-fine knob of `render_2`/`render_4`
+    (`gaussian_renderer/__init__.py:136-141`).
+    """
+    if training_stage:
+        from sags_tpu.core.camera import Camera as _Cam
+
+        d = 2 * training_stage
+        camera = _Cam(camera.width // d, camera.height // d, camera.fovx,
+                      camera.fovy, camera.world_view, camera.full_proj,
+                      camera.cam_center, camera.znear, camera.zfar)
     return rz.rasterize(
         m.xyz,
         gm.get_opacity(m),
