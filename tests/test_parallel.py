@@ -1,0 +1,81 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The driver separately dry-runs `__graft_entry__.dryrun_multichip`; here we
+additionally check *numerical equivalence*: the tile-sharded training step
+must produce the same loss and the same map update as the unsharded one
+(GSPMD inserts the per-Gaussian gradient all-reduce; any sharding bug shows
+up as a numeric divergence).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sags_tpu.core.camera import make_camera
+from sags_tpu.core.config import MapConfig, RasterizeConfig, SemanticsConfig, SLAMConfig
+from sags_tpu.parallel.mesh import make_mesh, shard_tiles
+from sags_tpu.slam import step as slam
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def setup(cfg):
+    rng = np.random.default_rng(0)
+    pts = np.concatenate(
+        [rng.uniform(-2, 2, (256, 2)), rng.uniform(2, 6, (256, 1))], 1
+    ).astype(np.float32)
+    cols = rng.uniform(0, 1, (256, 3)).astype(np.float32)
+    state = slam.init_state(cfg, jax.random.key(0))
+    state, _ = jax.jit(lambda s, p, c, m: slam.add_frame_points(s, p, c, m, cfg))(
+        state, jnp.asarray(pts), jnp.asarray(cols), jnp.ones(256, bool)
+    )
+    W, H = 128, 64
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                      W, H, 1.2, 1.0)
+    rngi = np.random.default_rng(1)
+    gt_img = jnp.asarray(rngi.uniform(0, 1, (3, H, W)).astype(np.float32))
+    gt_obj = jnp.zeros((H, W), jnp.int32)
+    return state, cam, gt_img, gt_obj
+
+
+def test_sharded_step_matches_single_device():
+    cfg = SLAMConfig(
+        raster=RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=64,
+                               chunk=16),
+        map=MapConfig(initial_capacity=512),
+        semantics=SemanticsConfig(cls3d_sample=16, num_classes=16),
+    )
+    state0, cam, gt_img, gt_obj = setup(cfg)
+    mesh = make_mesh(8)
+
+    s1, m1 = slam.make_slam_step(cfg, donate=False)(state0, cam, gt_img, gt_obj)
+    s8, m8 = slam.make_slam_step(cfg, donate=False, mesh=mesh)(
+        state0, cam, gt_img, gt_obj
+    )
+    np.testing.assert_allclose(float(m1.loss), float(m8.loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.map.f_dc), np.asarray(s8.map.f_dc), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.map.xyz), np.asarray(s8.map.xyz), atol=1e-6
+    )
+    assert int(m8.n_binned) == int(m1.n_binned)
+
+
+def test_shard_tiles_places_data():
+    mesh = make_mesh(8)
+    x = jnp.zeros((80, 256))
+
+    @jax.jit
+    def f(x):
+        return shard_tiles(x + 1.0, mesh)
+
+    y = f(x)
+    assert float(y.sum()) == 80 * 256
+    # sharded across 8 devices on the tile axis
+    assert len(y.sharding.device_set) == 8
