@@ -57,8 +57,8 @@ def _kernel(counts_ref, gt_ref, acc_out, t_out, acc_s, t_s, *, tile, tiles_x,
         base_x = ((t % tiles_x) * tile).astype(jnp.float32)
         base_y = ((t // tiles_x) * tile).astype(jnp.float32)
         pix_row = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 0)
-        px = base_x + (pix_row & (tile - 1)).astype(jnp.float32)
-        py = base_y + (pix_row >> 4).astype(jnp.float32)
+        px = base_x + (pix_row % tile).astype(jnp.float32)
+        py = base_y + (pix_row // tile).astype(jnp.float32)
 
         dx = g[0:1, :] - px  # [PIX,K] via broadcast of the (1,K) row
         dy = g[1:2, :] - py

@@ -314,9 +314,11 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeC
     n_binned = starts[NT]
     counts = jnp.minimum(seg, K)[:NT]
 
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and K % 128 == 0:
         # Contiguous segments ⇒ one DMA per tile (XLA scatter/gather of ~2M
-        # scalars costs ~20 ms here; the Pallas fill is sub-ms).
+        # scalars costs ~20 ms here; the Pallas fill is sub-ms). The kernel
+        # needs tile_capacity % 128 == 0; smaller capacities (tests, dryruns)
+        # take the XLA scatter path below.
         from sags_tpu.ops.pallas_binning import fill_table
 
         table = fill_table(gid_s, starts, NT, K)

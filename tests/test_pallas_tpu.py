@@ -79,3 +79,20 @@ def test_fused_backward_matches_xla():
         assert rel < 2e-2, (name, rel)
         cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
         assert cos > 0.999, (name, cos)
+
+
+def test_fused_forward_tile8_matches_xla():
+    """Regression: the fwd kernel once hardcoded tile=16 pixel decoding
+    (`pix_row >> 4`), silently corrupting any other tile size."""
+    A, cam, _ = scene()
+    cfg8 = dataclasses.replace(CFG, tile=8)
+    out_p = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg8, colors=a[4], obj_features=a[5],
+        fused=True))(*A)
+    out_x = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg8, colors=a[4], obj_features=a[5],
+        fused=False))(*A)
+    np.testing.assert_allclose(np.asarray(out_p.color), np.asarray(out_x.color),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_p.final_T), np.asarray(out_x.final_T),
+                               atol=1e-3)
