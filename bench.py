@@ -1,11 +1,15 @@
-"""Benchmark: 720p splatting render FPS on the real TPU chip.
+"""Benchmark: 720p splatting render FPS + map-optimization rate on the real
+TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the repo target of 30 FPS at 720p (BASELINE.md — the reference
-publishes no numbers; 30 FPS on a v5e-8 is the north-star gate).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline render metric, carrying the training-rate measurement in the same
+object (train_metric/train_value/train_unit/train_vs_baseline) so the driver
+records both in one run. Baselines: 30 FPS at 720p render, 10 Hz map-opt
+(BASELINE.md — the reference publishes no numbers; these are the north-star
+gates).
 
 Env knobs: SAGS_BENCH_GAUSSIANS (default 262144), SAGS_BENCH_W/H (1280x720),
-SAGS_BENCH_ITERS (20), SAGS_BENCH_MODE (render|train).
+SAGS_BENCH_ITERS (20), SAGS_BENCH_MODE (render|train|both; default both).
 """
 
 from __future__ import annotations
@@ -38,7 +42,7 @@ def measure_rtt() -> float:
     return float(np.median(ts))
 
 
-def bench_train():
+def bench_train(emit=True):
     """Map-optimization rate: fused slam_step iterations/sec at the reference
     operating point (640x512, the SLAM node's image size)."""
     import jax
@@ -93,19 +97,23 @@ def bench_train():
         times.append(time.perf_counter() - t0)
     dt = max(float(np.median(times)) - rtt, 1e-6)
     hz = 1.0 / dt
-    print(json.dumps({
+    result = {
         "metric": f"map_opt_iters_per_sec_{W}x{H}_{P//1024}k",
         "value": round(hz, 2),
         "unit": "iters/s",
         "vs_baseline": round(hz / 10.0, 3),  # >=10 Hz map-opt target
-    }))
+    }
+    if emit:
+        print(json.dumps(result))
     print(f"# slam_step {dt*1000:.1f} ms device (+{rtt*1000:.1f} ms tunnel RTT), "
           f"loss={float(m.loss):.4f}, active={int(m.n_active)}, "
           f"device={jax.devices()[0].platform}", file=sys.stderr)
+    return result
 
 
 def main():
-    if os.environ.get("SAGS_BENCH_MODE", "render") == "train":
+    mode = os.environ.get("SAGS_BENCH_MODE", "both")
+    if mode == "train":
         return bench_train()
     import jax
     import jax.numpy as jnp
@@ -178,13 +186,24 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
     }
-    print(json.dumps(result))
     print(
         f"# {W}x{H}, {P} gaussians, {n_binned} binned pairs, overflow={overflow}, "
         f"{dt*1000:.1f} ms/frame device (+{rtt*1000:.1f} ms tunnel RTT), "
         f"device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
+    if mode == "both":
+        try:
+            train = bench_train(emit=False)
+            result.update({
+                "train_metric": train["metric"],
+                "train_value": train["value"],
+                "train_unit": train["unit"],
+                "train_vs_baseline": train["vs_baseline"],
+            })
+        except Exception as e:  # render metric must still be recorded
+            print(f"# train bench failed: {e}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

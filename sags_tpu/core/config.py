@@ -37,6 +37,13 @@ class RasterizeConfig:
     scale_modifier: float = 1.0
     remat: bool = True  # rematerialize compositing chunks in backward
     pallas_backward: bool = True  # fused Pallas compositing backward on TPU
+    # Windowed (gather-free) TPU render path: packed rows are anchor-sorted
+    # and the compositor DMAs per-tile candidate spans into a shared VMEM
+    # window of `window_blocks` TOTAL 128-row blocks, allocated per span by
+    # actual length (see ops/pallas_windowed.py). Overflow is surfaced and
+    # pipeline-adapted.
+    windowed: bool = True
+    window_blocks: int = 16
 
 
 @dataclass(frozen=True)
@@ -118,7 +125,9 @@ class GICPConfig:
     optimizer: str = "lm"  # lm | gn
     # VGICP
     voxel_resolution: float = 1.0
-    neighbor_search: str = "direct1"  # direct1 | direct7 | direct27
+    neighbor_search: str = "direct1"  # direct1 | direct7 | direct27 | direct_radius
+    neighbor_radius: float = 1.5  # DIRECT_RADIUS radius in voxel units
+    voxel_accumulation: str = "additive"  # additive | additive_weighted | multiplicative
     max_voxels: int = 65536
 
 
@@ -162,6 +171,7 @@ class SLAMConfig:
     scene_extent: float = 2.5  # (`scripts/gaussian_splatting.py:164`)
     white_background: bool = False
     timeout_s: float = 10.0  # topic-silence shutdown (`:652-666`)
+    lidar_axes: bool = False  # FAST-LIVO2 LiDAR→camera pose fix (`:309-315`)
     post_train_iters: int = 1000  # (`:938-1013`)
     seed: int = 0
 

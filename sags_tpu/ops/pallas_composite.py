@@ -50,7 +50,11 @@ def _kernel(counts_ref, gt_ref, acc_out, t_out, acc_s, t_s, *, tile, tiles_x,
         acc_s[...] = jnp.zeros_like(acc_s)
         t_s[...] = jnp.ones_like(t_s)
 
-    @pl.when(c * K < counts_ref[t])
+    # Skip chunks past this tile's queue AND chunks where every pixel is
+    # already saturated (the CUDA per-pixel early exit `forward.cu:372-389`,
+    # lifted to chunk granularity: once max T < t_min no weight can pass the
+    # t_min gate again, so the remaining work is provably zero).
+    @pl.when((c * K < counts_ref[t]) & (jnp.max(t_s[...]) >= t_min))
     def _():
         g = gt_ref[0]  # [32, K]
         # pixel coordinates of this tile
@@ -68,20 +72,19 @@ def _kernel(counts_ref, gt_ref, acc_out, t_out, acc_s, t_s, *, tile, tiles_x,
         in_count = (c * K + k_iota) < counts_ref[t]
         gate = (power <= 0.0) & (alpha >= alpha_min) & in_count
         a = jnp.where(gate, alpha, 0.0)
-        log_om = jnp.log1p(-a)  # 0 where ungated
+        om = 1.0 - a
 
-        # exclusive prefix sum along K: Hillis-Steele doubling with static
-        # lane rolls (log2 K steps of VPU adds — far cheaper than a (K,K)
-        # triangular MXU matmul at fp32)
-        inc = log_om
+        # exclusive prefix PRODUCT along K: Hillis-Steele doubling with static
+        # lane rolls — multiplicative, in linear space (the log-space variant
+        # costs two extra [PIX,K] transcendental maps: log1p + exp).
+        # Exclusive = inclusive scan of om shifted right by one.
+        inc = jnp.where(k_iota >= 1, pltpu.roll(om, 1, 1), 1.0)
         for shift in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512):
             if shift >= K:
                 break
             rolled = pltpu.roll(inc, shift, 1)
-            inc = inc + jnp.where(k_iota >= shift, rolled, 0.0)
-        cum = inc - log_om  # exclusive
-        T_exc = t_s[...] * jnp.exp(cum)  # t_s is [PIX,1], broadcasts over K
-        om = 1.0 - a
+            inc = inc * jnp.where(k_iota >= shift, rolled, 1.0)
+        T_exc = t_s[...] * inc  # t_s is [PIX,1], broadcasts over K
         m = gate & (T_exc * om >= t_min)
         w = jnp.where(m, a * T_exc, 0.0)
 
@@ -91,8 +94,12 @@ def _kernel(counts_ref, gt_ref, acc_out, t_out, acc_s, t_s, *, tile, tiles_x,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,  # image quality: keep fp32
         )
-        t_s[...] *= jnp.exp(
-            jnp.sum(jnp.where(m, log_om, 0.0), axis=1, keepdims=True)
+        # T *= Π_m om, computed without reduce_prod (unsupported in Mosaic):
+        # m is monotone within a chunk (once T_exc·om < t_min it stays below),
+        # so the post-chunk T equals the SMALLEST m-true inclusive product —
+        # i.e. min over m of T_exc·om, or the unchanged t_s if m is all-false.
+        t_s[...] = jnp.min(
+            jnp.where(m, T_exc * om, t_s[...]), axis=1, keepdims=True
         )
 
     @pl.when(c == NC - 1)

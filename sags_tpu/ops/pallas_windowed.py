@@ -1,0 +1,224 @@
+"""Pallas TPU kernel: windowed fused compositor — gather-free rendering.
+
+The profiled killer of the plain fused path is the XLA row-gather
+`G[table]` (~25 ms for 1.8M 128-byte rows at 720p: XLA gathers run at
+~77M rows/s regardless of row width). The reference never materializes that
+gather — its CUDA render kernel walks the sorted pair list in-kernel
+(`cuda_rasterizer/forward.cu:310-340`). This kernel restores that property
+TPU-style:
+
+  1. Gaussians' packed rows are pre-sorted by (anchor tile, depth), where
+     the anchor is the rect-min tile of the R×R binning window. All
+     Gaussians that can touch tile (ty,tx) then live in R *contiguous*
+     spans of the sorted row store (anchors in tile rows ty-R+1..ty,
+     columns tx-R+1..tx).
+  2. Each grid step DMAs those R spans (whole 128-row blocks, dynamic
+     start / static size per block) into a VMEM candidate window packed
+     back-to-back — sequential HBM reads at full bandwidth instead of a
+     random gather. Spans share one per-tile block budget
+     (`cfg.window_blocks` total), allocated host-side by actual span
+     length, so dense regions don't force a uniform worst-case window.
+  3. The per-tile depth-ordered work list (from the same single-key sort
+     as the classic path) is translated host-side into *window-local*
+     indices; the kernel materializes depth order with Mosaic's native
+     within-128-lane dynamic gather (`take_along_axis` on the lane axis),
+     one [CH,128] gather per (output block × candidate block).
+  4. Compositing proceeds exactly as `pallas_composite._kernel`
+     (linear-space Hillis-Steele exclusive product, chunk skip by counts,
+     chunk skip on full saturation).
+
+Window overflow (a tile needing more candidate blocks than the budget) is
+counted host-side and surfaced; the pipeline adapts capacities the same way
+it adapts `tile_capacity`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HDR = 8  # header rows (geometry); feature rows start here
+
+# Packed-row extra columns appended by the windowed path (rows 32..39 of the
+# 40-wide layout; rows 0..31 are identical to `rasterize._pack_gaussians`).
+# The kernel never sees them — only host-side pair expansion reads them.
+COL_RMIN_X = 32
+COL_RMIN_Y = 33
+COL_RECT_W = 34
+COL_RECT_H = 35
+COL_DQ = 36
+WIDE_CH = 40
+
+
+def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, table_ref, gb_ref,
+            acc_out, t_out, cand, gsel, acc_s, t_s, sems, *, tile, tiles_x,
+            alpha_min, t_min, chunk, n_span, w_blocks):
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    NC = pl.num_programs(1)
+    K = chunk
+    CH = gb_ref.shape[1]
+    PIX = tile * tile
+    CF = acc_s.shape[1]
+
+    @pl.when(c == 0)
+    def _():
+        acc_s[...] = jnp.zeros_like(acc_s)
+        t_s[...] = jnp.ones_like(t_s)
+        # span DMAs: per-128-row-block conditional copies, packed back-to-back
+        for j in range(n_span):
+            base = bases_ref[t * n_span + j]
+            dest = dests_ref[t * n_span + j]
+            nblk = nblks_ref[t * n_span + j]
+            for b in range(w_blocks):
+                @pl.when(b < nblk)
+                def _():
+                    pltpu.make_async_copy(
+                        gb_ref.at[pl.ds(base + b, 1)],
+                        cand.at[pl.ds(dest + b, 1)],
+                        sems.at[j],
+                    ).start()
+        for j in range(n_span):
+            base = bases_ref[t * n_span + j]
+            dest = dests_ref[t * n_span + j]
+            nblk = nblks_ref[t * n_span + j]
+            for b in range(w_blocks):
+                @pl.when(b < nblk)
+                def _():
+                    pltpu.make_async_copy(
+                        gb_ref.at[pl.ds(base + b, 1)],
+                        cand.at[pl.ds(dest + b, 1)],
+                        sems.at[j],
+                    ).wait()
+
+    # chunk skip: past the tile's queue, or every pixel saturated (the CUDA
+    # per-pixel early exit `forward.cu:372-389` at chunk granularity)
+    @pl.when((c * K < counts_ref[t]) & (jnp.max(t_s[...]) >= t_min))
+    def _():
+        # ---- select: depth-ordered rows from the packed candidate window.
+        # Indices never point past the allocated blocks (host guarantees
+        # local < used*128), so unconditionally scanning all w_blocks is
+        # correct — unallocated blocks just never match `hi == b`.
+        for kb in range(K // 128):
+            idxb = table_ref[0, c * (K // 128) + kb]  # [128] window-local ids
+            hi = idxb // 128
+            lo = jnp.where(idxb >= 0, idxb % 128, 0)
+            idxmod = jnp.broadcast_to(lo[None, :], (CH, 128))
+            sel = jnp.zeros((CH, 128), jnp.float32)
+            for b in range(w_blocks):
+                g_b = jnp.take_along_axis(cand[b], idxmod, axis=1)
+                sel = jnp.where((hi == b)[None, :], g_b, sel)
+            gsel[:, pl.ds(kb * 128, 128)] = sel
+
+        g = gsel[...]
+        base_x = ((t % tiles_x) * tile).astype(jnp.float32)
+        base_y = ((t // tiles_x) * tile).astype(jnp.float32)
+        pix_row = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 0)
+        px = base_x + (pix_row % tile).astype(jnp.float32)
+        py = base_y + (pix_row // tile).astype(jnp.float32)
+        dx = g[0:1, :] - px
+        dy = g[1:2, :] - py
+        power = -0.5 * (g[2:3, :] * dx * dx + g[4:5, :] * dy * dy) - g[3:4, :] * dx * dy
+        alpha = jnp.minimum(0.99, g[5:6, :] * jnp.exp(power))
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 1)
+        in_count = (c * K + k_iota) < counts_ref[t]
+        gate = (power <= 0.0) & (alpha >= alpha_min) & in_count
+        a = jnp.where(gate, alpha, 0.0)
+        om = 1.0 - a
+        # exclusive prefix product (see pallas_composite._kernel)
+        inc = jnp.where(k_iota >= 1, pltpu.roll(om, 1, 1), 1.0)
+        sh = 1
+        while sh < K:
+            inc = inc * jnp.where(k_iota >= sh, pltpu.roll(inc, sh, 1), 1.0)
+            sh *= 2
+        T_exc = t_s[...] * inc
+        m = gate & (T_exc * om >= t_min)
+        w = jnp.where(m, a * T_exc, 0.0)
+        acc_s[...] += jax.lax.dot_general(
+            w, g[HDR:HDR + CF, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # T *= Π_m om without reduce_prod (unsupported): m is monotone within
+        # a chunk, so the post-chunk T is the smallest m-true T_exc·om.
+        t_s[...] = jnp.min(
+            jnp.where(m, T_exc * om, t_s[...]), axis=1, keepdims=True
+        )
+
+    @pl.when(c == NC - 1)
+    def _():
+        acc_out[0] = acc_s[...]
+        t_out[0] = t_s[...][:, 0:1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_feat", "tile", "tiles_x", "alpha_min", "t_min",
+                     "chunk", "n_span", "w_blocks"),
+)
+def composite_windowed(
+    gb: jax.Array,      # [NB_total, CH, 128] anchor-sorted blocked row store
+    table: jax.Array,   # [NT, K_TILE//128, 128] window-local depth-order ids
+    counts: jax.Array,  # [NT]
+    bases: jax.Array,   # [NT * n_span] span source block ids
+    dests: jax.Array,   # [NT * n_span] span dest block offset in the window
+    nblks: jax.Array,   # [NT * n_span] blocks allocated to the span
+    n_feat: int,
+    tile: int,
+    tiles_x: int,
+    alpha_min: float = 1.0 / 255.0,
+    t_min: float = 1e-4,
+    chunk: int = 256,
+    n_span: int = 4,
+    w_blocks: int = 12,
+):
+    """Returns (accum [NT, PIX, n_feat], T_final [NT, PIX])."""
+    NT = table.shape[0]
+    K_TILE = table.shape[1] * 128
+    CH = gb.shape[1]
+    K = min(chunk, K_TILE)
+    assert K % 128 == 0 and K_TILE % K == 0
+    NC = K_TILE // K
+    PIX = tile * tile
+    CF = n_feat
+
+    kern = functools.partial(
+        _kernel, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min, t_min=t_min,
+        chunk=K, n_span=n_span, w_blocks=w_blocks,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(NT, NC),
+        in_specs=[
+            pl.BlockSpec((1, K_TILE // 128, 128), lambda t, c, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, PIX, CF), lambda t, c, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 1), lambda t, c, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((w_blocks, CH, 128), jnp.float32),
+            pltpu.VMEM((CH, K), jnp.float32),
+            pltpu.VMEM((PIX, CF), jnp.float32),
+            pltpu.VMEM((PIX, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_span,)),
+        ],
+    )
+    acc, T = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((NT, PIX, CF), jnp.float32),
+            jax.ShapeDtypeStruct((NT, PIX, 1), jnp.float32),
+        ],
+    )(counts.astype(jnp.int32), bases.astype(jnp.int32),
+      dests.astype(jnp.int32), nblks.astype(jnp.int32), table, gb)
+    return acc, T[..., 0]

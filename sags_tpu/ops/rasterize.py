@@ -90,6 +90,7 @@ class RenderOutput(NamedTuple):
     n_binned: jax.Array
     overflow_rect: jax.Array
     overflow_tile: jax.Array
+    overflow_window: jax.Array = jnp.int32(0)  # windowed-path span overflow
 
 
 # ---------------------------------------------------------------------------
@@ -262,6 +263,18 @@ def preprocess(
 # ---------------------------------------------------------------------------
 
 
+def _depth_quant(pre: Preprocessed) -> jax.Array:
+    """16-bit depth quantization over the valid depth range (the sort key's
+    low bits — sub-(range/65536) orderings may swap, visually negligible)."""
+    depth = jax.lax.stop_gradient(pre.depth)
+    big = jnp.float32(3e38)
+    dmin = jnp.min(jnp.where(pre.valid, depth, big))
+    dmax = jnp.max(jnp.where(pre.valid, depth, -big))
+    return jnp.clip(
+        (depth - dmin) / jnp.maximum(dmax - dmin, 1e-9) * 65535.0, 0.0, 65535.0
+    ).astype(jnp.int32)
+
+
 def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeConfig):
     """Depth-ordered per-tile work table via one fused int32 sort key.
 
@@ -286,14 +299,7 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeC
     covered = jnp.minimum(rect_w, R) * jnp.minimum(rect_h, R)
     overflow_rect = jnp.sum(jnp.where(pre.valid, n_rect - covered, 0))
 
-    # 16-bit depth quantization over the valid depth range.
-    depth = jax.lax.stop_gradient(pre.depth)
-    big = jnp.float32(3e38)
-    dmin = jnp.min(jnp.where(pre.valid, depth, big))
-    dmax = jnp.max(jnp.where(pre.valid, depth, -big))
-    dq = jnp.clip(
-        (depth - dmin) / jnp.maximum(dmax - dmin, 1e-9) * 65535.0, 0.0, 65535.0
-    ).astype(jnp.int32)
+    dq = _depth_quant(pre)
 
     base_key = dq  # low 16 bits, shared by all of a Gaussian's pairs
     gid_row = jnp.arange(P, dtype=jnp.int32)
@@ -350,7 +356,9 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeC
 _G_HDR = 8
 
 
-def _pack_gaussians(pre: Preprocessed, obj_features: jax.Array) -> jax.Array:
+def _pack_gaussians(
+    pre: Preprocessed, obj_features: jax.Array, extras: bool = False
+) -> jax.Array:
     O = obj_features.shape[-1]
     CF = 3 + O + 4
     width = _G_HDR + CF
@@ -371,7 +379,16 @@ def _pack_gaussians(pre: Preprocessed, obj_features: jax.Array) -> jax.Array:
     cols += [dz0, A, B, jnp.ones_like(dz0)]
     pad = width - len(cols)
     cols += [zero] * pad
-    return jnp.stack(cols, axis=-1)  # [P, width]
+    if extras:
+        # Windowed-path expansion columns (rows 32..39, pallas_windowed.COL_*):
+        # integer rect/dq fields as exact small floats, gradient-free.
+        sg = lambda x: jax.lax.stop_gradient(x.astype(jnp.float32))
+        cols += [
+            sg(pre.rmin_x), sg(pre.rmin_y),
+            sg(pre.rmax_x - pre.rmin_x), sg(pre.rmax_y - pre.rmin_y),
+            sg(_depth_quant(pre)), zero, zero, zero,
+        ]
+    return jnp.stack(cols, axis=-1)  # [P, width (+8 with extras)]
 
 
 def _tile_pixel_coords(tiles_x: int, tiles_y: int, tile: int):
@@ -478,6 +495,231 @@ def _composite_pallas_with_xla_vjp(G, table, counts, n_feat, tiles_x, tiles_y, c
 
     f.defvjp(fwd, bwd)
     return f(G)
+
+
+# ---------------------------------------------------------------------------
+# Windowed path: gather-free rendering (see ops/pallas_windowed.py docstring).
+# ---------------------------------------------------------------------------
+
+
+def _prepare_windowed(
+    pre: Preprocessed,
+    obj_features: jax.Array,
+    tiles_x: int,
+    tiles_y: int,
+    cfg: RasterizeConfig,
+):
+    """Anchor-sort packed rows, build the depth-ordered per-tile table in
+    window-local coordinates, and the per-tile span DMA bases.
+
+    Returns (G_s, table_rows, table_local_blocks, counts, bases, n_binned,
+    overflow_rect, overflow_tile, overflow_window).
+    """
+    from sags_tpu.ops.pallas_windowed import (
+        COL_DQ, COL_RECT_H, COL_RECT_W, COL_RMIN_X, COL_RMIN_Y,
+    )
+
+    P = pre.mx.shape[0]
+    MT = cfg.max_tiles_per_gaussian
+    R = int(round(MT ** 0.5))
+    assert R * R == MT, "max_tiles_per_gaussian must be a perfect square"
+    NB = cfg.window_blocks
+    K = cfg.tile_capacity
+    NT = tiles_x * tiles_y
+    assert NT < (1 << 15)
+
+    rect_w_all = pre.rmax_x - pre.rmin_x
+    rect_h_all = pre.rmax_y - pre.rmin_y
+    covered = jnp.minimum(rect_w_all, R) * jnp.minimum(rect_h_all, R)
+    overflow_rect = jnp.sum(
+        jnp.where(pre.valid, rect_w_all * rect_h_all - covered, 0)
+    )
+
+    # --- anchor sort: rows grouped by rect-min tile, depth-ordered within ---
+    dq = _depth_quant(pre)
+    anchor = jnp.where(pre.valid, pre.rmin_y * tiles_x + pre.rmin_x, NT)
+    iota = jnp.arange(P, dtype=jnp.int32)
+    akey = (anchor << 16) | dq
+    akey_s, perm = jax.lax.sort((akey, iota), num_keys=1)
+    G = _pack_gaussians(pre, obj_features, extras=True)
+    G_s = G[perm]  # ONE P-row gather; everything downstream is contiguous
+    rowstart = jnp.searchsorted(
+        akey_s, jnp.arange(NT + 1, dtype=jnp.int32) << 16
+    ).astype(jnp.int32)
+
+    # --- pair expansion over the sorted rows (payload = sorted row id) ---
+    # Two tiers: a 2×2 window for EVERY Gaussian plus the remaining R×R−4
+    # offsets for the few LARGE ones (rect wider than 2 tiles), compacted to
+    # a P/8 buffer. Cuts the sort from MT·P to ~(4 + (MT−4)/8)·P slots — the
+    # average Gaussian touches 1-6 tiles, so uniform MT-way expansion wastes
+    # most of the sort. Large-buffer overflow is counted into overflow_rect
+    # (and pipeline-adapted like every other capacity).
+    ex = jax.lax.stop_gradient(G_s)
+    rminx = ex[:, COL_RMIN_X].astype(jnp.int32)
+    rminy = ex[:, COL_RMIN_Y].astype(jnp.int32)
+    rectw = ex[:, COL_RECT_W].astype(jnp.int32)
+    recth = ex[:, COL_RECT_H].astype(jnp.int32)
+    dq_s = ex[:, COL_DQ].astype(jnp.int32)
+    valid_s = iota < rowstart[NT]
+
+    def tier_keys(offs, rx, ry, rw, rh, dq, vmask):
+        ks = []
+        for dx_j, dy_j in offs:
+            ok = vmask & (dx_j < rw) & (dy_j < rh)
+            tile_id = (ry + dy_j) * tiles_x + (rx + dx_j)
+            ks.append(jnp.where(ok, (tile_id << 16) | dq, NT << 16))
+        return ks
+
+    RA = min(R, 2)
+    offs_a = [(x, y) for y in range(RA) for x in range(RA)]
+    keys = tier_keys(offs_a, rminx, rminy, rectw, recth, dq_s, valid_s)
+    gids = [iota] * len(offs_a)
+
+    if R > 2:
+        PB = max(P // 8, 128)
+        is_big = valid_s & ((rectw > 2) | (recth > 2))
+        rank_big = jnp.cumsum(is_big.astype(jnp.int32)) - 1
+        n_big = jnp.sum(is_big)
+        covered = jnp.minimum(rectw, R) * jnp.minimum(recth, R)
+        overflow_rect = overflow_rect + jnp.sum(
+            jnp.where(is_big & (rank_big >= PB), covered - 4, 0)
+        )
+        _, big_idx = jax.lax.sort(
+            (jnp.where(is_big, 0, 1).astype(jnp.int32), iota), num_keys=1
+        )
+        big_idx = big_idx[:PB]
+        exb = ex[big_idx]  # one small row gather
+        bx = exb[:, COL_RMIN_X].astype(jnp.int32)
+        by = exb[:, COL_RMIN_Y].astype(jnp.int32)
+        bw = exb[:, COL_RECT_W].astype(jnp.int32)
+        bh = exb[:, COL_RECT_H].astype(jnp.int32)
+        bdq = exb[:, COL_DQ].astype(jnp.int32)
+        bvalid = jnp.arange(PB) < jnp.minimum(n_big, PB)
+        offs_b = [
+            (x, y) for y in range(R) for x in range(R) if not (x < 2 and y < 2)
+        ]
+        keys += tier_keys(offs_b, bx, by, bw, bh, bdq, bvalid)
+        gids += [big_idx] * len(offs_b)
+
+    key = jnp.concatenate([k.reshape(-1) for k in keys])
+    gid = jnp.concatenate([g.reshape(-1) for g in gids])
+    key_s, idx_s = jax.lax.sort((key, gid), num_keys=1)
+
+    starts = jnp.searchsorted(key_s, jnp.arange(NT + 1, dtype=jnp.int32) << 16)
+    seg = starts[1:] - starts[:-1]
+    overflow_tile = jnp.sum(jnp.maximum(seg - K, 0))
+    n_binned = starts[NT]
+    counts = jnp.minimum(seg, K)[:NT]
+
+    if jax.default_backend() == "tpu" and K % 128 == 0:
+        from sags_tpu.ops.pallas_binning import fill_table
+
+        table = fill_table(idx_s, starts, NT, K)
+    else:
+        tile_s = key_s >> 16
+        rank = (
+            jnp.arange(tile_s.shape[0], dtype=jnp.int32)
+            - starts[jnp.clip(tile_s, 0, NT)]
+        )
+        fits = (tile_s < NT) & (rank < K)
+        row = jnp.where(fits, tile_s, NT)
+        col = jnp.where(fits, rank, 0)
+        table = jnp.full((NT + 1, K), -1, jnp.int32)
+        table = table.at[row, col].set(jnp.where(fits, idx_s, -1), mode="drop")
+        table = table[:NT]
+
+    # --- window-local translation + packed span DMA plan ---
+    # Spans share one per-tile block budget (cfg.window_blocks total blocks),
+    # allocated by actual span length and packed back-to-back in VMEM.
+    t_iota = jnp.arange(NT, dtype=jnp.int32)
+    ty, tx = t_iota // tiles_x, t_iota % tiles_x
+    col0 = jnp.maximum(tx - (R - 1), 0)
+    local = jnp.full_like(table, -1)
+    matched = jnp.zeros_like(table, bool)
+    bases, dests, nblks = [], [], []
+    dest = jnp.zeros_like(t_iota)
+    for j in range(R):
+        row = ty - (R - 1) + j
+        rvalid = row >= 0
+        rowc = jnp.maximum(row, 0)
+        s_j = jnp.where(rvalid, rowstart[rowc * tiles_x + col0], 0)
+        e_j = jnp.where(rvalid, rowstart[rowc * tiles_x + tx + 1], 0)
+        base_j = s_j // 128  # 128-aligned DMA base block
+        need = jnp.where(e_j > s_j, -((base_j * 128 - e_j) // 128), 0)
+        nblk = jnp.minimum(need, NB - dest)
+        bases.append(base_j)
+        dests.append(dest)
+        nblks.append(nblk)
+        offs = table - base_j[:, None] * 128
+        m = (
+            (table >= s_j[:, None])
+            & (table < e_j[:, None])
+            & (offs < nblk[:, None] * 128)
+        )
+        local = jnp.where(m, dest[:, None] * 128 + offs, local)
+        matched = matched | m
+        dest = dest + nblk
+    overflow_window = jnp.sum((table >= 0) & ~matched)
+    bases = jnp.stack(bases, axis=1).reshape(-1)  # [NT*R]
+    dests = jnp.stack(dests, axis=1).reshape(-1)
+    nblks = jnp.stack(nblks, axis=1).reshape(-1)
+    table_local = local.reshape(NT, K // 128, 128)
+
+    return (G_s, table, table_local, counts, bases, dests, nblks, n_binned,
+            overflow_rect, overflow_tile, overflow_window)
+
+
+def _composite_windowed_with_xla_vjp(
+    G_s, table_rows, table_local, counts, bases, dests, nblks,
+    n_feat, tiles_x, tiles_y, cfg
+):
+    """Fused windowed forward; backward recomputes through the XLA compositor
+    on the same anchor-sorted rows/table (exact, deterministic)."""
+    from sags_tpu.ops.pallas_windowed import composite_windowed
+
+    R = int(round(cfg.max_tiles_per_gaussian ** 0.5))
+    NB = cfg.window_blocks
+    K_TILE = cfg.tile_capacity
+    K_chunk = 256 if K_TILE % 256 == 0 else 128
+    K_chunk = min(K_chunk, K_TILE)
+    CF_in = 24  # feature rows 8..31 (incl. the zero pad row)
+    P = G_s.shape[0]
+    P_pad = -(-(P + NB * 128) // 128) * 128
+
+    def primal(G_s):
+        CH = 32  # kernel rows: geometry + features; extras stay host-side
+        G_pad = jnp.concatenate(
+            [G_s[:, :CH], jnp.zeros((P_pad - P, CH), G_s.dtype)], axis=0
+        )
+        gb = G_pad.T.reshape(CH, P_pad // 128, 128).transpose(1, 0, 2)
+        acc, T = composite_windowed(
+            gb, table_local, counts, bases, dests, nblks, CF_in, cfg.tile,
+            tiles_x, alpha_min=cfg.alpha_min, t_min=cfg.transmittance_min,
+            chunk=K_chunk, n_span=R, w_blocks=NB,
+        )
+        return acc[..., :n_feat], T
+
+    f = jax.custom_vjp(primal)
+
+    def fwd(G_s):
+        return primal(G_s), (G_s,)
+
+    def bwd(res, cots):
+        (G_s,) = res
+        _, vjp = jax.vjp(
+            lambda g: _composite_core_xla(
+                g, table_rows, counts, n_feat, tiles_x, tiles_y, cfg, None
+            ),
+            G_s[:, :32],
+        )
+        (dG32,) = vjp(cots)
+        dG = jnp.concatenate(
+            [dG32, jnp.zeros((P, G_s.shape[1] - 32), dG32.dtype)], axis=-1
+        )
+        return (dG,)
+
+    f.defvjp(fwd, bwd)
+    return f(G_s)
 
 
 def _composite_core_xla(
@@ -603,6 +845,7 @@ def rasterize(
     mean2d_offset: Optional[jax.Array] = None,
     mesh=None,
     fused: Optional[bool] = None,
+    windowed: Optional[bool] = None,
 ) -> RenderOutput:
     """Render Gaussians — the `GaussianRasterizer.__call__` equivalent
     (`diff_gaussian_rasterization/__init__.py:166-233`) producing what
@@ -628,12 +871,36 @@ def rasterize(
         cov3d_precomp=cov3d_precomp, active_mask=active_mask,
         mean2d_offset=mean2d_offset,
     )
-    table, counts, n_binned, ov_rect, ov_tile = bin_gaussians(pre, tiles_x, tiles_y, cfg)
-    G = _pack_gaussians(pre, obj_features)
     n_feat = 3 + O + 4
-    accum, T_final, px, py = composite(
-        table, counts, G, n_feat, tiles_x, tiles_y, cfg, mesh=mesh, fused=fused
+    R = int(round(cfg.max_tiles_per_gaussian ** 0.5))
+    use_windowed = (
+        (cfg.windowed if windowed is None else windowed)
+        and jax.default_backend() == "tpu"
+        and mesh is None
+        and fused is not False  # training goes through the XLA scan path
+        and cfg.tile_capacity % 128 == 0
+        and R * R == cfg.max_tiles_per_gaussian
+        and cfg.tile * cfg.tile >= 8
     )
+    ov_win = jnp.int32(0)
+    if use_windowed:
+        (G_s, table, table_local, counts, bases, dests, nblks, n_binned,
+         ov_rect, ov_tile, ov_win) = _prepare_windowed(
+            pre, obj_features, tiles_x, tiles_y, cfg
+        )
+        accum, T_final = _composite_windowed_with_xla_vjp(
+            G_s, table, table_local, counts, bases, dests, nblks,
+            n_feat, tiles_x, tiles_y, cfg
+        )
+        px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
+    else:
+        table, counts, n_binned, ov_rect, ov_tile = bin_gaussians(
+            pre, tiles_x, tiles_y, cfg
+        )
+        G = _pack_gaussians(pre, obj_features)
+        accum, T_final, px, py = composite(
+            table, counts, G, n_feat, tiles_x, tiles_y, cfg, mesh=mesh, fused=fused
+        )
 
     rgb = accum[..., :3]
     obj = accum[..., 3 : 3 + O]
@@ -664,6 +931,7 @@ def rasterize(
         n_binned=n_binned,
         overflow_rect=ov_rect,
         overflow_tile=ov_tile,
+        overflow_window=ov_win,
     )
 
 

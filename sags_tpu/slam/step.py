@@ -48,6 +48,8 @@ class StepMetrics(NamedTuple):
     n_active: jax.Array
     n_binned: jax.Array
     overflow_tile: jax.Array
+    overflow_rect: jax.Array
+    overflow_window: jax.Array
 
 
 def init_state(cfg: SLAMConfig, rng: jax.Array, capacity: Optional[int] = None) -> SLAMState:
@@ -68,7 +70,8 @@ def init_state(cfg: SLAMConfig, rng: jax.Array, capacity: Optional[int] = None) 
 
 
 def render_map(m: gm.GaussianMap, camera: Camera, cfg: SLAMConfig, bg_color=None,
-               mesh=None, fused=None, training_stage: int = 0):
+               mesh=None, fused=None, training_stage: int = 0,
+               windowed=None):
     """`render_4` equivalent (`gaussian_renderer/__init__.py:325-480`).
 
     `training_stage` divides the render resolution by 2*stage — the
@@ -96,6 +99,7 @@ def render_map(m: gm.GaussianMap, camera: Camera, cfg: SLAMConfig, bg_color=None
         active_mask=m.active,
         mesh=mesh,
         fused=fused,
+        windowed=windowed,
     )
 
 
@@ -114,8 +118,11 @@ def _loss_fn(
     m = gm.with_params(m, params)
     # With the fused Pallas backward, training runs fully fused; without it,
     # fused=False avoids paying Pallas fwd + XLA recompute in the vjp.
+    # The WINDOWED path is inference-only here: its custom_vjp backward
+    # recomputes through the XLA compositor (gather + scan), far slower than
+    # the fused Pallas backward of the classic path.
     fused = None if cfg.raster.pallas_backward else False
-    out = render_map(m, camera, cfg, mesh=mesh, fused=fused)
+    out = render_map(m, camera, cfg, mesh=mesh, fused=fused, windowed=False)
 
     # Photometric (`scripts/gaussian_splatting.py:805-810`)
     _, l1 = l1_loss(out.color, gt_image)
@@ -208,6 +215,8 @@ def slam_step(
         n_active=gm.n_active(m),
         n_binned=out.n_binned,
         overflow_tile=out.overflow_tile,
+        overflow_rect=out.overflow_rect,
+        overflow_window=out.overflow_window,
     )
     return new_state, metrics
 

@@ -245,3 +245,47 @@ def test_overflow_counters_fire():
         cam, cfg, colors=jnp.ones((32, 3)),
     )
     assert int(out.overflow_tile) > 0
+
+
+def test_huge_gaussian_rect_overflow_and_adaptation():
+    """A near-field Gaussian whose tile rect exceeds the R x R binning window
+    must (a) fire overflow_rect and (b) render MORE of its footprint once
+    max_tiles_per_gaussian grows — the adaptation the pipeline applies
+    (the reference has no cap: dynamic num_rendered, rasterizer_impl.cu:288-294)."""
+    means = np.array([[0.0, 0.0, 1.5]], np.float32)
+    scales = np.full((1, 3), 0.5, np.float32)  # enormous on screen
+    quats = np.array([[0, 0, 0, 1]], np.float32)
+    opac = np.full(1, 0.9, np.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), 128, 128, 1.0, 1.0)
+    render = lambda cfg: rz.rasterize(
+        jnp.asarray(means), jnp.asarray(opac), jnp.asarray(scales),
+        jnp.asarray(quats), cam, cfg, colors=jnp.ones((1, 3)),
+    )
+    small = render(RasterizeConfig(max_tiles_per_gaussian=4, tile_capacity=8, chunk=8))
+    big = render(RasterizeConfig(max_tiles_per_gaussian=64, tile_capacity=8, chunk=8))
+    assert int(small.overflow_rect) > 0
+    assert int(big.overflow_rect) == 0
+    # the clipped render covers fewer pixels
+    assert float(small.alpha.sum()) < 0.6 * float(big.alpha.sum())
+
+
+def test_pipeline_overflow_adaptation_grows_knobs():
+    """Sustained overflow metrics must grow the matching raster capacities."""
+    from sags_tpu.core.config import SLAMConfig, MapConfig
+    from sags_tpu.slam.pipeline import SLAMPipeline
+    from sags_tpu.slam.step import StepMetrics
+
+    cfg = SLAMConfig(map=MapConfig(initial_capacity=256),
+                     raster=RasterizeConfig(max_tiles_per_gaussian=4,
+                                            tile_capacity=128, chunk=8))
+    pipe = SLAMPipeline(cfg, point_budget=64)
+    z = jnp.float32(0.0)
+    m = StepMetrics(loss=z, loss_rgb=z, loss_obj=z, loss_obj_3d=z,
+                    n_active=jnp.int32(1), n_binned=jnp.int32(1000),
+                    overflow_tile=jnp.int32(50), overflow_rect=jnp.int32(50),
+                    overflow_window=jnp.int32(50))
+    for _ in range(3):
+        pipe._maybe_grow_capacity(m)
+    assert pipe.cfg.raster.tile_capacity == 256
+    assert pipe.cfg.raster.max_tiles_per_gaussian == 9
+    assert pipe.cfg.raster.window_blocks == cfg.raster.window_blocks + 2
