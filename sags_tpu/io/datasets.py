@@ -35,6 +35,10 @@ class Frame:
     pose: np.ndarray  # [4,4] camera-to-world
     timestamp: float
     depth: Optional[np.ndarray] = None  # [H,W] float32 meters (if available)
+    # IMU samples since the previous frame: [M,7] = gyro xyz (rad/s, body),
+    # accel xyz (m/s² specific force, body), dt (s). The FAST-LIVO2 front-end
+    # consumes these through esikf.propagate.
+    imu: Optional[np.ndarray] = None
 
 
 def associate_timestamps(
@@ -247,13 +251,16 @@ class SyntheticDataset:
 
     def __init__(self, n_frames=20, width=160, height=120, n_world=4096,
                  pts_per_frame=2048, seed=0, fovx=1.2, fovy=1.0,
-                 max_range=8.0, step=0.4, clutter=0.0):
+                 max_range=8.0, step=0.4, clutter=0.0, imu_substeps=0,
+                 frame_dt=0.1):
         self.n_frames = n_frames
         self.width, self.height = width, height
         self.fovx, self.fovy = fovx, fovy
         self.pts_per_frame = pts_per_frame
         self.max_range = max_range
         self.step = step
+        self.imu_substeps = imu_substeps
+        self.frame_dt = frame_dt
         rng = np.random.default_rng(seed)
         # world: gaussians on walls of a corridor along +z
         n = n_world
@@ -264,18 +271,30 @@ class SyntheticDataset:
         y = np.where(wall == 2, -2.0, h * 0.8)
         self.world_xyz = np.stack([x, y, t], -1).astype(np.float32)
         self.world_xyz += rng.normal(0, 0.03, self.world_xyz.shape).astype(np.float32)
+        # ground-truth instance identity per world Gaussian: walls are
+        # instances 1..3; clutter blobs (below) get 4..15
+        self.world_instance = (wall + 1).astype(np.int32)
         if clutter > 0:
             # blobs of structure along the corridor: makes z observable for
             # point-to-plane tracking (bare corridor walls are all parallel)
             n_cl = int(n * clutter)
-            n_blobs = max(n_cl // 30, 1)
+            # ≤12 distinct blobs so instance ids stay unique (walls take 1-3)
+            n_blobs = min(max(n_cl // 30, 1), 12)
             centers = np.stack([
                 rng.uniform(-2, 2, n_blobs), rng.uniform(-1.6, 1.6, n_blobs),
                 rng.uniform(0.5, 19.5, n_blobs)], -1)
-            blob_pts = (centers[rng.integers(0, n_blobs, n_cl)]
-                        + rng.normal(0, 0.15, (n_cl, 3)))
+            blob_id = rng.integers(0, n_blobs, n_cl)
+            blob_pts = centers[blob_id] + rng.normal(0, 0.15, (n_cl, 3))
             self.world_xyz[:n_cl] = blob_pts.astype(np.float32)
-        self.world_rgb = rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32)
+            self.world_instance[:n_cl] = 4 + (blob_id % 12)
+        # coherent per-instance appearance (objects have consistent color;
+        # per-Gaussian jitter keeps photometric optimization non-degenerate)
+        base = rng.uniform(0.1, 1.0, (16, 3))
+        self.world_rgb = np.clip(
+            base[self.world_instance % 16]
+            + rng.normal(0, 0.05, (n, 3)),
+            0.02, 1.0,
+        ).astype(np.float32)
         self.world_scale = np.full((n, 3), 0.12, np.float32)
         self._rng = rng
 
@@ -316,6 +335,61 @@ class SyntheticDataset:
         )
         return np.asarray(out.color), np.asarray(out.depth[0])
 
+    def gt_objects(self, i: int) -> np.ndarray:
+        """Ground-truth instance mask [H,W] int32 (0 = background): render
+        the world with one-hot instance features and argmax the object
+        channels (the exact semantics the semantic rasterizer path uses)."""
+        import jax.numpy as jnp
+
+        from sags_tpu.core.config import RasterizeConfig
+        from sags_tpu.ops import rasterize as rz
+
+        cfg = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=512,
+                              chunk=64)
+        n = len(self.world_xyz)
+        quats = np.tile(np.array([[0, 0, 0, 1]], np.float32), (n, 1))
+        onehot = np.zeros((n, 16), np.float32)
+        onehot[np.arange(n), self.world_instance % 16] = 1.0
+        out = rz.rasterize(
+            jnp.asarray(self.world_xyz), jnp.full((n,), 0.8),
+            jnp.asarray(self.world_scale), jnp.asarray(quats),
+            self.camera(i), cfg, colors=jnp.asarray(self.world_rgb),
+            obj_features=jnp.asarray(onehot),
+        )
+        obj = np.asarray(out.objects)  # [16,H,W] alpha-weighted densities
+        alpha = np.asarray(out.alpha[0])
+        labels = np.argmax(obj, axis=0).astype(np.int32)
+        return np.where(alpha > 0.5, labels, 0)
+
+    def imu_between(self, i: int) -> np.ndarray:
+        """Synthesize IMU samples over (i-1, i] from the analytic trajectory:
+        constant body rates per substep, specific force f = Rᵀ(a_w − g)."""
+        import jax.numpy as jnp
+
+        from sags_tpu.core.transforms import so3_log
+
+        M = self.imu_substeps
+        dt = self.frame_dt / M
+        g_w = np.array([0.0, 0.0, -9.81])
+        out = np.zeros((M, 7), np.float32)
+        for s in range(M):
+            f0 = (i - 1) + s / M
+            f1 = (i - 1) + (s + 1) / M
+            T0, T1 = self.pose(f0), self.pose(f1)
+            w = np.asarray(so3_log(jnp.asarray(T0[:3, :3].T @ T1[:3, :3]))) / dt
+            # world acceleration via central differences around the midpoint
+            fm = 0.5 * (f0 + f1)
+            h = 0.5 / M
+            p_m = self.pose(fm)[:3, 3]
+            p_l = self.pose(fm - h)[:3, 3]
+            p_r = self.pose(fm + h)[:3, 3]
+            a_w = (p_r - 2 * p_m + p_l) / (h * self.frame_dt) ** 2
+            f_body = T0[:3, :3].T @ (a_w - g_w)
+            out[s, 0:3] = w
+            out[s, 3:6] = f_body
+            out[s, 6] = dt
+        return out
+
     def __len__(self):
         return self.n_frames
 
@@ -323,6 +397,7 @@ class SyntheticDataset:
         for i in range(self.n_frames):
             pose = self.pose(i)
             img, depth = self.render_gt(i)
+            imu = self.imu_between(i) if (self.imu_substeps and i > 0) else None
             # visible world points: those in front of the camera
             rel = (self.world_xyz - pose[:3, 3]) @ pose[:3, :3]
             # ranged sensor: points in front of the camera within max_range
@@ -335,6 +410,14 @@ class SyntheticDataset:
                 points=self.world_xyz[sel],
                 colors=self.world_rgb[sel],
                 pose=pose,
-                timestamp=i / 10.0,
+                timestamp=i * self.frame_dt,
                 depth=depth,
+                imu=imu,
             )
+
+    def velocity(self, i: int) -> np.ndarray:
+        """Analytic world velocity at frame i (for initializing filters)."""
+        h = 1e-3
+        return (self.pose(i + h)[:3, 3] - self.pose(i - h)[:3, 3]) / (
+            2 * h * self.frame_dt
+        )

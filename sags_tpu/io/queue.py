@@ -53,15 +53,28 @@ def stage_frame(frame: Frame, point_budget: int, device=None) -> DeviceFrame:
 
 
 class FrameQueue:
-    """Bounded prefetch queue: a daemon thread stages frames ahead of use."""
+    """Bounded prefetch queue: a daemon thread stages frames ahead of use.
+
+    Yields `(DeviceFrame, Frame)` pairs — staged device buffers plus the host
+    frame they came from — so any iterable (including live generators that
+    block on sensor input) is consumed exactly once.
+
+    `timeout_s` reproduces the reference's topic-silence shutdown
+    (`scripts/gaussian_splatting.py:652-666`): if no frame arrives within the
+    window after the first one was seen, iteration ends gracefully and
+    `timed_out` is set (the caller proceeds to post-training).
+    """
 
     _DONE = object()
 
     def __init__(self, frames: Iterable[Frame], point_budget: int,
-                 prefetch: int = 2, device=None):
+                 prefetch: int = 2, device=None,
+                 timeout_s: Optional[float] = None):
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._point_budget = point_budget
         self._device = device
+        self._timeout_s = timeout_s
+        self.timed_out = False
         self._err: Optional[BaseException] = None
         self._thread = threading.Thread(
             target=self._produce, args=(iter(frames),), daemon=True
@@ -71,17 +84,26 @@ class FrameQueue:
     def _produce(self, it: Iterator[Frame]):
         try:
             for f in it:
-                self._q.put(stage_frame(f, self._point_budget, self._device))
+                self._q.put((stage_frame(f, self._point_budget, self._device), f))
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:
             self._q.put(self._DONE)
 
     def __iter__(self):
+        first = True
         while True:
-            item = self._q.get()
+            try:
+                # Reference semantics: the silence clock only starts once the
+                # first topic has been received (`:657`).
+                timeout = None if first else self._timeout_s
+                item = self._q.get(timeout=timeout)
+            except queue.Empty:
+                self.timed_out = True
+                return
             if item is self._DONE:
                 if self._err is not None:
                     raise self._err
                 return
+            first = False
             yield item

@@ -174,8 +174,10 @@ def scan_update(
     Pinv = jnp.linalg.inv(state.P + 1e-9 * jnp.eye(_DIM))
     inv_r = 1.0 / (meas_noise**2)
 
+    v0, bg0, ba0, g0 = state.v, state.bg, state.ba, state.g
+
     def iteration(carry, _):
-        R, p = carry
+        R, p, v, bg, ba, g = carry
         q_w = points_body @ R.T + p
         r, n, ok = best_plane(q_w)
         w = ok.astype(jnp.float32)
@@ -193,16 +195,27 @@ def scan_update(
         from sags_tpu.core.transforms import so3_log
 
         dtheta = so3_log(R0.T @ R)
-        dx_prior = jnp.concatenate([dtheta, p - p0, jnp.zeros(_DIM - 6)])
+        dx_prior = jnp.concatenate(
+            [dtheta, p - p0, v - v0, bg - bg0, ba - ba0, g - g0]
+        )
         rhs = Hw.T @ r + Pinv @ dx_prior
         dx = jnp.linalg.solve(A, rhs)
 
+        # Apply the FULL error-state correction: the measurement only sees
+        # (R, p), but the prior covariance couples v/bg/ba/g to them — the
+        # FAST-LIVO2 filter corrects all of them each iterate.
         R_new = R @ so3_exp(-dx[0:3])
         p_new = p - dx[3:6]
-        return (R_new, p_new), (jnp.sum(w), jnp.sum(jnp.abs(r) * w) / jnp.maximum(jnp.sum(w), 1.0))
+        v_new = v - dx[6:9]
+        bg_new = bg - dx[9:12]
+        ba_new = ba - dx[12:15]
+        g_new = g - dx[15:18]
+        return (R_new, p_new, v_new, bg_new, ba_new, g_new), (
+            jnp.sum(w), jnp.sum(jnp.abs(r) * w) / jnp.maximum(jnp.sum(w), 1.0)
+        )
 
-    (R_f, p_f), (n_m, res) = jax.lax.scan(
-        iteration, (R0, p0), None, length=num_iters
+    (R_f, p_f, v_f, bg_f, ba_f, g_f), (n_m, res) = jax.lax.scan(
+        iteration, (R0, p0, v0, bg0, ba0, g0), None, length=num_iters
     )
 
     # covariance update with the final linearization
@@ -215,7 +228,127 @@ def scan_update(
     A = Pinv + H.T @ Hw
     P_new = jnp.linalg.inv(A)
 
-    # velocity/bias remain; update v consistently with dp between iterations?
-    # FAST-LIO folds them through H=0 rows — P couples them.
-    new_state = state._replace(R=R_f, p=p_f, P=P_new)
+    new_state = state._replace(
+        R=R_f, p=p_f, v=v_f, bg=bg_f, ba=ba_f, g=g_f, P=P_new
+    )
     return ScanUpdateResult(state=new_state, n_matched=n_m[-1], mean_residual=res[-1])
+
+
+# ---------------------------------------------------------------------------
+# Incremental surfel map — the filter's world model.
+#
+# FAST-LIO/LIVO maintain an incremental voxel/ikd-tree map; the reference's
+# voxel maps accumulate additively (`cuda/gaussian_voxelmap.cu:22-130`
+# atomicAdd). TPU equivalent: per-voxel moment accumulators (n, Σp, Σppᵀ)
+# over a FIXED world grid, merged with each new scan by one small
+# sort + segment-reduce — O(V + N) per frame, no per-frame kNN covariance
+# re-estimation, no full-map rebuild. Surfel covariance = within-voxel point
+# scatter Σppᵀ/n − μμᵀ (the plane geometry scan_update consumes).
+# ---------------------------------------------------------------------------
+
+
+class SurfelMap(NamedTuple):
+    keys: jax.Array  # [V] sorted unique voxel keys (INT32_MAX pad)
+    n: jax.Array  # [V] points accumulated per voxel
+    sum_p: jax.Array  # [V,3]
+    sum_pp: jax.Array  # [V,3,3]
+    overflow: jax.Array  # voxels dropped by capacity
+    mins: jax.Array  # [3] fixed grid origin (voxel coords)
+    dims: jax.Array  # [3] fixed grid dims
+    resolution: float
+
+
+def surfel_map_init(
+    resolution: float = 0.3,
+    capacity: int = 8192,
+    world_extent: float = 128.0,
+) -> SurfelMap:
+    """Fixed world grid centered at the origin (±world_extent/2 per axis)."""
+    half = int(world_extent / (2 * resolution)) + 2
+    mins = jnp.full((3,), -half, jnp.int32)
+    dims = jnp.full((3,), 2 * half + 1, jnp.int32)
+    return SurfelMap(
+        keys=jnp.full((capacity,), _SURFEL_KEY_MAX, jnp.int32),
+        n=jnp.zeros((capacity,), jnp.float32),
+        sum_p=jnp.zeros((capacity, 3), jnp.float32),
+        sum_pp=jnp.zeros((capacity, 3, 3), jnp.float32),
+        overflow=jnp.int32(0),
+        mins=mins,
+        dims=dims,
+        resolution=resolution,
+    )
+
+
+_SURFEL_KEY_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _surfel_encode(sm: SurfelMap, coords: jax.Array) -> jax.Array:
+    rel = coords - sm.mins
+    inside = jnp.all((rel >= 0) & (rel < sm.dims), axis=-1)
+    key = (rel[..., 0] * sm.dims[1] + rel[..., 1]) * sm.dims[2] + rel[..., 2]
+    return jnp.where(inside, key, _SURFEL_KEY_MAX)
+
+
+@jax.jit
+def surfel_map_update(sm: SurfelMap, points: jax.Array, mask: jax.Array) -> SurfelMap:
+    """Fold a world-frame scan into the map: one sort + segment-reduce over
+    (existing voxels ++ new points)."""
+    V = sm.keys.shape[0]
+    coords = _voxel_coords(points, sm.resolution)
+    keys_new = jnp.where(mask, _surfel_encode(sm, coords), _SURFEL_KEY_MAX)
+    valid = keys_new < _SURFEL_KEY_MAX
+
+    keys_all = jnp.concatenate([sm.keys, keys_new])
+    n_all = jnp.concatenate([sm.n, valid.astype(jnp.float32)])
+    sp_all = jnp.concatenate([sm.sum_p, jnp.where(valid[:, None], points, 0.0)])
+    pp = points[:, :, None] * points[:, None, :]
+    spp_all = jnp.concatenate(
+        [sm.sum_pp, jnp.where(valid[:, None, None], pp, 0.0)]
+    )
+
+    order = jnp.argsort(keys_all)
+    ks = keys_all[order]
+    is_new = jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]]) & (
+        ks < _SURFEL_KEY_MAX
+    )
+    vid = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    live = ks < _SURFEL_KEY_MAX
+    slot = jnp.where(live & (vid < V), vid, V)
+    n_unique = jnp.maximum(vid[-1] + 1, 0)
+    overflow = sm.overflow + jnp.maximum(n_unique - V, 0)
+
+    key_buf = jnp.full((V + 1,), _SURFEL_KEY_MAX, jnp.int32)
+    key_buf = key_buf.at[slot].set(
+        jnp.where(slot < V, ks, _SURFEL_KEY_MAX), mode="drop"
+    )
+    add = lambda init, x: init.at[slot].add(x[order], mode="drop")
+    n_buf = add(jnp.zeros((V + 1,), jnp.float32), n_all)
+    sp_buf = add(jnp.zeros((V + 1, 3), jnp.float32), sp_all)
+    spp_buf = add(jnp.zeros((V + 1, 3, 3), jnp.float32), spp_all)
+    return sm._replace(
+        keys=key_buf[:V], n=n_buf[:V], sum_p=sp_buf[:V], sum_pp=spp_buf[:V],
+        overflow=overflow,
+    )
+
+
+@jax.jit
+def surfel_map_voxels(sm: SurfelMap) -> VoxelMap:
+    """View the accumulators as the VoxelMap scan_update consumes."""
+    n = jnp.maximum(sm.n, 1.0)
+    means = sm.sum_p / n[:, None]
+    covs = sm.sum_pp / n[:, None, None] - means[:, :, None] * means[:, None, :]
+    # regularize so eigh on empty/degenerate voxels stays finite
+    covs = covs + 1e-6 * jnp.eye(3)
+    return VoxelMap(
+        keys=sm.keys,
+        means=means,
+        covs=covs,
+        num_points=sm.n.astype(jnp.int32),
+        n_voxels=jnp.sum(sm.keys < _SURFEL_KEY_MAX),
+        overflow=sm.overflow,
+        # VoxelMap.lookup uses rel = c - mins + 1; ours is rel = c - sm.mins,
+        # so mins+1 makes both encodings agree key-for-key.
+        mins=sm.mins + 1,
+        dims=sm.dims,
+        resolution=sm.resolution,
+    )

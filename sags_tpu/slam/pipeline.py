@@ -83,7 +83,12 @@ class SLAMPipeline:
         cam_cfg = self.cfg.camera
         fovx = focal2fov(cam_cfg.fx * W / cam_cfg.width, W)
         fovy = focal2fov(cam_cfg.fy * H / cam_cfg.height, H)
-        return make_camera(pose[:3, :3], pose[:3, 3], W, H, fovx, fovy)
+        R = pose[:3, :3]
+        if self.cfg.lidar_axes:
+            # FAST-LIVO2 odometry reports the LiDAR body frame; the camera
+            # frame is R · Rz(90°) · Rx(−90°) (`gaussian_splatting.py:309-315`).
+            R = R @ _LIDAR_TO_CAM
+        return make_camera(R, pose[:3, 3], W, H, fovx, fovy)
 
     def _track(self, frame: Frame) -> np.ndarray:
         """Estimate the frame pose. 'none' trusts frame.pose (odometry topic);
@@ -104,7 +109,7 @@ class SLAMPipeline:
         scan_p = pad(scan.astype(np.float32))
 
         if mode == "esikf":
-            return self._track_esikf(scan_p, msk)
+            return self._track_esikf(scan_p, msk, frame.imu)
 
         if self._prev_scan is None:
             self._prev_scan = (scan_p, msk)
@@ -121,40 +126,49 @@ class SLAMPipeline:
         self._prev_scan = (scan_p, msk)
         return self._track_T.copy()
 
-    def _track_esikf(self, scan_p: np.ndarray, msk: np.ndarray) -> np.ndarray:
-        """ESIKF update vs the accumulated world surfel map."""
+    def _track_esikf(
+        self, scan_p: np.ndarray, msk: np.ndarray,
+        imu: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """ESIKF against an INCREMENTAL surfel voxel map: IMU mean/covariance
+        propagation (when the frame carries samples) or constant-position P
+        inflation, iterated point-to-plane update, then one O(V+N)
+        sort+segment-reduce map fold (no per-frame covariance re-estimation,
+        no full-map rebuild — the FAST-LIVO2 front-end shape)."""
         from sags_tpu.ops import esikf
 
         if self._esikf is None:
             self._esikf = esikf.init_state()
-        # constant-position motion model: inflate P each frame (no IMU here;
-        # with IMU, esikf.propagate does this with the real dynamics)
-        q = jnp.concatenate([
-            jnp.full(3, 2e-3), jnp.full(3, 4e-2), jnp.full(3, 1e-4),
-            jnp.full(9, 1e-8),
-        ])
-        self._esikf = self._esikf._replace(P=self._esikf.P + jnp.diag(q))
-        if self._track_map is not None:
+            self._track_map = esikf.surfel_map_init(
+                resolution=self.cfg.tracking.downsample_resolution * 3,
+                capacity=8192,
+            )
+        if imu is not None and len(imu):
+            imu = np.asarray(imu, np.float32)
+            self._esikf = esikf.propagate(
+                self._esikf, jnp.asarray(imu[:, 0:3]), jnp.asarray(imu[:, 3:6]),
+                jnp.asarray(imu[:, 6]),
+            )
+        else:
+            # constant-position motion model: inflate P each frame
+            q = jnp.concatenate([
+                jnp.full(3, 2e-3), jnp.full(3, 4e-2), jnp.full(3, 1e-4),
+                jnp.full(9, 1e-8),
+            ])
+            self._esikf = self._esikf._replace(P=self._esikf.P + jnp.diag(q))
+        vm = esikf.surfel_map_voxels(self._track_map)
+        if int(vm.n_voxels) > 0:
             out = esikf.scan_update(
                 self._esikf, jnp.asarray(scan_p), jnp.asarray(msk),
-                self._track_map, num_iters=5, min_planarity=0.1,
+                vm, num_iters=5, min_planarity=0.1,
             )
             self._esikf = out.state
         # fold this scan (at the estimated pose) into the surfel map
         R = np.asarray(self._esikf.R)
         p = np.asarray(self._esikf.p)
         world = scan_p @ R.T + p
-        pts_all = (world if self._track_map is None else
-                   np.concatenate([self._map_pts, world]))[-4 * len(scan_p):]
-        self._map_pts = pts_all
-        m_all = np.ones(len(pts_all), bool)
-        covs = gicp_ops.estimate_covariances(
-            jnp.asarray(pts_all), jnp.asarray(m_all),
-            k=10, knn_max_distance=2.0, regularization="none",
-        ).covs
-        self._track_map = gicp_ops.build_voxel_map(
-            jnp.asarray(pts_all), covs, jnp.asarray(m_all),
-            self.cfg.tracking.downsample_resolution * 3, 8192,
+        self._track_map = esikf.surfel_map_update(
+            self._track_map, jnp.asarray(world), jnp.asarray(msk)
         )
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R
@@ -162,26 +176,44 @@ class SLAMPipeline:
         return T
 
     def _maybe_grow_capacity(self, metrics) -> None:
-        """Overflow-adaptive tile capacity: the render work tables are
-        capacity-bounded with surfaced overflow counters; sustained overflow
-        bumps `tile_capacity` (one recompile) instead of silently dropping."""
-        dropped = int(metrics.overflow_tile)
+        """Overflow-adaptive render capacities (the reference has no silent
+        cap — it sizes `num_rendered` dynamically, `rasterizer_impl.cu:288-294`;
+        here every capacity-bounded table surfaces an overflow counter and
+        sustained overflow grows the corresponding knob, one recompile each):
+          * overflow_tile  → tile_capacity ×2 (per-tile queue length)
+          * overflow_rect  → max_tiles_per_gaussian to the next square
+                             (R×R binning window side +1)
+          * overflow_window→ window_blocks +2 (windowed candidate spans)
+        """
+        import dataclasses
+
         binned = max(int(metrics.n_binned), 1)
-        if dropped > 0.001 * binned:
+        thresh = 0.001 * binned
+        over = {
+            "tile": int(metrics.overflow_tile) > thresh,
+            "rect": int(getattr(metrics, "overflow_rect", 0)) > thresh,
+            "window": int(getattr(metrics, "overflow_window", 0)) > thresh,
+        }
+        if any(over.values()):
             self._overflow_strikes += 1
         else:
             self._overflow_strikes = 0
-        if self._overflow_strikes >= 3:
-            import dataclasses
-
-            new_cap = self.cfg.raster.tile_capacity * 2
-            self.cfg = self.cfg.replace(
-                raster=dataclasses.replace(self.cfg.raster, tile_capacity=new_cap)
-            )
-            self.step_fn = slam_step_mod.make_slam_step(
-                self.cfg, donate=False, mesh=self.mesh
-            )
-            self._overflow_strikes = 0
+        if self._overflow_strikes < 3:
+            return
+        r = self.cfg.raster
+        kw = {}
+        if over["tile"]:
+            kw["tile_capacity"] = r.tile_capacity * 2
+        if over["rect"]:
+            R = int(round(r.max_tiles_per_gaussian ** 0.5)) + 1
+            kw["max_tiles_per_gaussian"] = R * R
+        if over["window"]:
+            kw["window_blocks"] = r.window_blocks + 2
+        self.cfg = self.cfg.replace(raster=dataclasses.replace(r, **kw))
+        self.step_fn = slam_step_mod.make_slam_step(
+            self.cfg, donate=False, mesh=self.mesh
+        )
+        self._overflow_strikes = 0
 
     def _make_objects(self, frame: Frame, pose: np.ndarray) -> np.ndarray:
         H, W = frame.image.shape[1:]
@@ -213,13 +245,17 @@ class SLAMPipeline:
 
     # ------------------------------------------------------------------
     def run(self, frames: Iterable[Frame], post_train: Optional[int] = None) -> PipelineResult:
+        """Consume a frame stream (any iterable, including live generators
+        that block on sensor input). Ends on stream exhaustion OR on
+        `cfg.timeout_s` of silence after the first frame (the reference's
+        topic-silence shutdown, `:652-666`), then post-trains."""
         cfg = self.cfg
         poses_est, poses_gt = [], []
-        q = FrameQueue(frames, self.point_budget, prefetch=2)
+        q = FrameQueue(frames, self.point_budget, prefetch=2,
+                       timeout_s=cfg.timeout_s)
         frame_idx = 0
-        host_frames: List[Frame] = []
 
-        for df, frame in _zip_device_host(q, frames):
+        for df, frame in q:
             pose = self._track(frame)
             poses_est.append(pose)
             poses_gt.append(np.asarray(frame.pose))
@@ -283,20 +319,7 @@ class SLAMPipeline:
         return scores
 
 
-def _zip_device_host(q: FrameQueue, frames: Iterable[Frame]):
-    """The queue consumed `frames` in its thread; re-yield pairs by teeing is
-    unsafe for generators — instead the queue carries the staged arrays and
-    we reconstruct host metadata from them. Simplest correct approach: stage
-    lazily here (keeps one code path; the queue is still used for prefetch
-    when `frames` is a list)."""
-    # If frames is a list/sequence we can iterate it independently alongside
-    # the queue (the queue's iterator consumed its own copy). For generators,
-    # fall back to staging inline.
-    if isinstance(frames, (list, tuple)):
-        yield from zip(q, frames)
-    else:
-        raise TypeError(
-            "SLAMPipeline.run requires a sequence of frames (list/tuple) so "
-            "host metadata stays accessible alongside the device queue; "
-            "materialize your generator first."
-        )
+# LiDAR body → camera axes: Rz(90°) · Rx(−90°) (`gaussian_splatting.py:309-315`)
+_LIDAR_TO_CAM = np.array(
+    [[0, 1, 0], [-1, 0, 0], [0, 0, 1]], dtype=np.float32
+) @ np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], dtype=np.float32)

@@ -78,3 +78,106 @@ def test_scan_update_recovers_pose(rng):
     cos = (np.trace(R_true.T @ R_est) - 1) / 2
     assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 0.5
     assert int(out.n_matched) > 500
+
+
+def test_scan_update_corrects_full_state():
+    """The iterated update must correct v/bg/ba/g through the prior coupling,
+    not only (R, p) — the FAST-LIVO2 full-state behavior (SURVEY §0.1)."""
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-3, 3, (512, 3)).astype(np.float32)
+    pts[:, 2] = 0.05 * rng.standard_normal(512)  # a floor plane + two walls
+    pts[:170, 0] = 2.0 + 0.05 * rng.standard_normal(170)
+    pts[:170, 2] = rng.uniform(0, 2, 170)
+    pts[170:340, 1] = -2.0 + 0.05 * rng.standard_normal(170)
+    pts[170:340, 2] = rng.uniform(0, 2, 170)
+    mask = np.ones(512, bool)
+    covs = gicp.estimate_covariances(
+        jnp.asarray(pts), jnp.asarray(mask), k=10, knn_max_distance=4.0,
+        regularization="none",
+    ).covs
+    vm = gicp.build_voxel_map(jnp.asarray(pts), covs, jnp.asarray(mask), 0.5, 2048)
+
+    st = esikf.init_state()
+    # cross-couple v with p so a position-only measurement moves v
+    P = np.array(st.P)
+    P[3:6, 3:6] = np.eye(3) * 1e-2
+    P[6:9, 6:9] = np.eye(3) * 1e-1
+    P[3:6, 6:9] = P[6:9, 3:6] = np.eye(3) * 2e-2
+    st = st._replace(P=jnp.asarray(P), v=jnp.asarray([0.5, -0.3, 0.2]))
+
+    # body points = world points seen from a slightly-off pose
+    T_true_t = np.array([0.15, -0.1, 0.05], np.float32)
+    scan = (pts - T_true_t)  # identity rotation, translated
+    out = esikf.scan_update(st, jnp.asarray(scan), jnp.asarray(mask), vm,
+                            num_iters=5, min_planarity=0.1)
+    # position moved toward the truth, and v changed through the coupling
+    assert float(jnp.linalg.norm(out.state.p - jnp.asarray(T_true_t))) < 0.08
+    assert float(jnp.linalg.norm(out.state.v - st.v)) > 1e-4
+
+
+def test_surfel_map_incremental_matches_batch():
+    """Two incremental folds == one batch fold (moment accumulators)."""
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-4, 4, (256, 3)).astype(np.float32)
+    b = rng.uniform(-4, 4, (256, 3)).astype(np.float32)
+    m = np.ones(256, bool)
+    sm1 = esikf.surfel_map_init(resolution=0.5, capacity=1024)
+    sm1 = esikf.surfel_map_update(sm1, jnp.asarray(a), jnp.asarray(m))
+    sm1 = esikf.surfel_map_update(sm1, jnp.asarray(b), jnp.asarray(m))
+    sm2 = esikf.surfel_map_init(resolution=0.5, capacity=1024)
+    sm2 = esikf.surfel_map_update(
+        sm2, jnp.asarray(np.concatenate([a, b])), jnp.asarray(np.ones(512, bool))
+    )
+    v1, v2 = esikf.surfel_map_voxels(sm1), esikf.surfel_map_voxels(sm2)
+    assert int(v1.n_voxels) == int(v2.n_voxels)
+    np.testing.assert_array_equal(np.asarray(v1.keys), np.asarray(v2.keys))
+    np.testing.assert_allclose(np.asarray(v1.means), np.asarray(v2.means),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1.covs), np.asarray(v2.covs),
+                               atol=1e-4)
+
+
+def test_imu_esikf_beats_constant_position():
+    """Full ESIKF with IMU propagation tracks a synthetic IMU+LiDAR sequence
+    better than the constant-position variant (VERDICT round-1 item 4)."""
+    from sags_tpu.io.datasets import SyntheticDataset
+    from sags_tpu.utils.traj import ate_rmse
+
+    def run(use_imu: bool):
+        ds = SyntheticDataset(n_frames=10, n_world=4096, pts_per_frame=1024,
+                              clutter=0.5, step=0.25,
+                              imu_substeps=5 if use_imu else 0, seed=1)
+        st = esikf.init_state()
+        st = st._replace(v=jnp.asarray(ds.velocity(0), jnp.float32))
+        sm = esikf.surfel_map_init(resolution=0.3, capacity=8192)
+        est, gt = [], []
+        for i, fr in enumerate(ds):
+            Tw = np.asarray(fr.pose, np.float32)
+            scan = (fr.points - Tw[:3, 3]) @ Tw[:3, :3]
+            if fr.imu is not None:
+                st = esikf.propagate(
+                    st, jnp.asarray(fr.imu[:, 0:3]), jnp.asarray(fr.imu[:, 3:6]),
+                    jnp.asarray(fr.imu[:, 6]))
+            else:
+                q = jnp.concatenate([jnp.full(3, 2e-3), jnp.full(3, 4e-2),
+                                     jnp.full(3, 1e-4), jnp.full(9, 1e-8)])
+                st = st._replace(P=st.P + jnp.diag(q))
+            vm = esikf.surfel_map_voxels(sm)
+            if int(vm.n_voxels) > 0:
+                st = esikf.scan_update(st, jnp.asarray(scan),
+                                       jnp.ones(len(scan), bool), vm,
+                                       num_iters=5, min_planarity=0.1).state
+            world = scan @ np.asarray(st.R).T + np.asarray(st.p)
+            sm = esikf.surfel_map_update(sm, jnp.asarray(world),
+                                         jnp.ones(len(world), bool))
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = np.asarray(st.R)
+            T[:3, 3] = np.asarray(st.p)
+            est.append(T)
+            gt.append(Tw)
+        return ate_rmse(np.stack(est), np.stack(gt), align=False)[0]
+
+    err_imu = run(True)
+    err_cp = run(False)
+    assert err_imu < err_cp, (err_imu, err_cp)
+    assert err_imu < 0.1, err_imu
