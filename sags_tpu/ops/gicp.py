@@ -50,6 +50,22 @@ NEIGHBOR_OFFSETS = {
 }
 
 
+def neighbor_offsets(method: str, radius: float = 1.5):
+    """Offset table incl. DIRECT_RADIUS (`gicp_settings.hpp:8`): all integer
+    offsets within `radius` voxels (the CUDA-only mode of the reference)."""
+    if method != "direct_radius":
+        return NEIGHBOR_OFFSETS[method]
+    r = int(radius)
+    out = [
+        (i, j, k)
+        for i in range(-r, r + 1)
+        for j in range(-r, r + 1)
+        for k in range(-r, r + 1)
+        if (i * i + j * j + k * k) <= radius * radius
+    ]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Covariance estimation (`fast_gicp_impl.hpp:380-479`)
 # ---------------------------------------------------------------------------
@@ -238,6 +254,95 @@ def make_gicp_linearizer(data: GICPData, cfg: GICPConfig):
     return linearize, error
 
 
+@functools.partial(jax.jit, static_argnames=("corr_dist_threshold",))
+def correspondence_dump(
+    T: jax.Array,
+    source: jax.Array,
+    target: jax.Array,
+    source_mask: jax.Array,
+    target_mask: jax.Array,
+    corr_dist_threshold: float = float("inf"),
+):
+    """pygicp `get_source_correspondence` (`main.cpp:230-233`): the nearest
+    target index (−1 when gated) and squared distance per source point, at
+    transformation T."""
+    src_t = jnp.matmul(source, T[:3, :3].T, precision=_HI) + T[:3, 3]
+    far_t = jnp.where(target_mask[:, None], target, 1e10)
+    sq_d, idx = knn(src_t, far_t, k=1, chunk=1024)
+    idx = idx[:, 0]
+    ok = (
+        source_mask
+        & (sq_d[:, 0] < corr_dist_threshold**2)
+        & target_mask[idx]
+    )
+    return jnp.where(ok, idx, -1), sq_d[:, 0]
+
+
+def make_gicp_st_linearizer(data: GICPData, cfg: GICPConfig):
+    """FastGICPSingleThread semantics (`gicp/impl/fast_gicp_st_impl.hpp`):
+    per-point correspondences (and their Mahalanobis weights) are REUSED
+    across LM iterations while the triangle-inequality bound
+    √d1 + |Δx| < √d2 − |Δx| proves the nearest neighbor cannot have changed
+    (d2 = second-nearest at the last re-search, Δx = anchor movement).
+
+    On TPU the k=2 search runs vectorized regardless (no wall-clock win);
+    this exists for RESULT parity with the ST variant, whose stale-Mahalanobis
+    behavior differs measurably from the batched FastGICP.
+    """
+    N = data.source.shape[0]
+
+    def correspondences(T, st):
+        first, anchors, sqd, sqd2, idx, mahal = st
+        src_t = jnp.matmul(data.source, T[:3, :3].T, precision=_HI) + T[:3, 3]
+        d_move = jnp.linalg.norm(src_t - anchors, axis=-1)
+        need = first | (jnp.sqrt(sqd) + d_move >= jnp.sqrt(sqd2) - d_move)
+
+        far_t = jnp.where(data.target_mask[:, None], data.target, 1e10)
+        sq_k, idx_k = knn(src_t, far_t, k=2, chunk=1024)
+        new_idx = jnp.where(
+            sq_k[:, 0] < cfg.corr_dist_threshold**2, idx_k[:, 0], -1
+        )
+        cov_B = data.target_covs[idx_k[:, 0]]
+        RCR = cov_B + jnp.einsum(
+            "ij,njk,lk->nil", T[:3, :3], data.source_covs, T[:3, :3],
+            precision=_HI,
+        )
+        new_mahal = robust_inv3(RCR)
+
+        idx = jnp.where(need, new_idx, idx)
+        mahal = jnp.where(need[:, None, None], new_mahal, mahal)
+        sqd = jnp.where(need, sq_k[:, 0], sqd)
+        sqd2 = jnp.where(need, sq_k[:, 1], sqd2)
+        anchors = jnp.where(need[:, None], src_t, anchors)
+
+        safe = jnp.maximum(idx, 0)
+        ok = data.source_mask & (idx >= 0) & data.target_mask[safe]
+        mean_B = data.target[safe]
+        new_st = (jnp.zeros((), bool), anchors, sqd, sqd2, idx, mahal)
+        return ok, mean_B, mahal, new_st
+
+    def linearize(T, st):
+        ok, mean_B, mahal, st = correspondences(T, st)
+        corr = (ok, mean_B, mahal)
+        H, b, e = _hb_from_pairs(T, data.source, mean_B, mahal, ok.astype(jnp.float32))
+        return H, b, e, corr, st
+
+    def error(T, corr):
+        ok, mean_B, mahal = corr
+        _, _, e = _hb_from_pairs(T, data.source, mean_B, mahal, ok.astype(jnp.float32))
+        return e
+
+    carry0 = (
+        jnp.ones((), bool),
+        jnp.zeros((N, 3)),
+        jnp.zeros((N,)),
+        jnp.full((N,), jnp.inf),
+        jnp.full((N,), -1, jnp.int32),
+        jnp.zeros((N, 3, 3)),
+    )
+    return linearize, error, carry0
+
+
 # ---------------------------------------------------------------------------
 # Gaussian voxel map + FastVGICP (`fast_vgicp_impl.hpp`, `fast_vgicp_voxel.hpp`)
 # ---------------------------------------------------------------------------
@@ -268,11 +373,26 @@ def build_voxel_map(
     mask: jax.Array,
     resolution: float,
     max_voxels: int,
+    mode: str = "additive",
 ) -> VoxelMap:
-    """ADDITIVE GaussianVoxelMap: per-voxel mean of points and covariances
-    (`fast_vgicp_voxel.hpp:105-122`), built with sort + segment reductions
-    instead of the reference's hash map / CUDA atomicCAS hash."""
+    """GaussianVoxelMap with sort + segment reductions (replacing the
+    reference's hash map / CUDA atomicCAS hash). Accumulation modes
+    (`gicp_settings.hpp:10`, `fast_vgicp_voxel.hpp:60-122`):
+
+      * additive / additive_weighted — per-voxel mean of points and covs
+        (the reference instantiates the SAME AdditiveGaussianVoxel for both,
+        `fast_vgicp_voxel.hpp:137-144`; parity kept).
+      * multiplicative — product-of-Gaussians fusion: Σ⁻¹ = Σᵢ Σᵢ⁻¹,
+        μ = Σ · Σᵢ (Σᵢ⁻¹ μᵢ)  (`MultiplicativeGaussianVoxel`).
+    """
     N = points.shape[0]
+    multiplicative = mode == "multiplicative"
+    if multiplicative:
+        inv_covs = robust_inv3(covs)
+        covs = inv_covs
+        points_acc = jnp.einsum("nij,nj->ni", inv_covs, points, precision=_HI)
+    else:
+        points_acc = points
     coords = _voxel_coords(points, resolution)
     big = jnp.int32(2**30)
     coords_m = jnp.where(mask[:, None], coords, big)
@@ -295,7 +415,7 @@ def build_voxel_map(
     valid_pt = ks < _KEY_MAX
     slot = jnp.where(valid_pt & (vid < max_voxels), vid, max_voxels)
 
-    pts_s = points[order]
+    pts_s = points_acc[order]
     covs_s = covs[order]
     key_buf = jnp.full((max_voxels + 1,), _KEY_MAX, jnp.int32)
     key_buf = key_buf.at[slot].set(jnp.where(slot < max_voxels, ks, _KEY_MAX), mode="drop")
@@ -310,10 +430,18 @@ def build_voxel_map(
     )
     cnt_safe = jnp.maximum(cnt[:max_voxels], 1.0)
     overflow = jnp.maximum(jnp.sum(is_new) - max_voxels, 0)
+    if multiplicative:  # finalize: Σ = (Σ accumulated Σᵢ⁻¹)⁻¹, μ = Σ·Σ(Σᵢ⁻¹μᵢ)
+        cov_out = robust_inv3(sum_c[:max_voxels])
+        mean_out = jnp.einsum(
+            "nij,nj->ni", cov_out, sum_p[:max_voxels], precision=_HI
+        )
+    else:
+        cov_out = sum_c[:max_voxels] / cnt_safe[:, None, None]
+        mean_out = sum_p[:max_voxels] / cnt_safe[:, None]
     return VoxelMap(
         keys=key_buf[:max_voxels],
-        means=sum_p[:max_voxels] / cnt_safe[:, None],
-        covs=sum_c[:max_voxels] / cnt_safe[:, None, None],
+        means=mean_out,
+        covs=cov_out,
         num_points=cnt[:max_voxels],
         n_voxels=jnp.minimum(jnp.sum(is_new), max_voxels),
         overflow=overflow,
@@ -343,7 +471,9 @@ class VGICPData(NamedTuple):
 
 
 def make_vgicp_linearizer(data: VGICPData, cfg: GICPConfig):
-    offsets = jnp.asarray(NEIGHBOR_OFFSETS[cfg.neighbor_search], jnp.int32)  # [F,3]
+    offsets = jnp.asarray(
+        neighbor_offsets(cfg.neighbor_search, cfg.neighbor_radius), jnp.int32
+    )  # [F,3]
     F = offsets.shape[0]
     vm = data.voxel_map
     Ns = data.source.shape[0]
@@ -401,8 +531,17 @@ def lsq_align(
     error_fn: Callable,
     init_T: jax.Array,
     cfg: GICPConfig,
+    carry_init=None,
 ) -> AlignResult:
+    """When `carry_init` is given, `linearize(T, carry) -> (H,b,e,corr,carry)`
+    threads correspondence state across outer iterations (the ST variant's
+    anchor/second-distance bookkeeping); otherwise `linearize(T)`."""
     I6 = jnp.eye(6)
+    stateful = carry_init is not None
+    if not stateful:
+        raw_lin = linearize
+        linearize = lambda T, carry: raw_lin(T) + (carry,)
+        carry_init = jnp.zeros(())
 
     def solve(H, lam, b):
         return jnp.linalg.solve(H + lam * I6, -b)
@@ -417,19 +556,20 @@ def lsq_align(
     if cfg.optimizer == "gn":
 
         def gn_body(state):
-            T, Hf, i, converged, e = state
-            H, b, e0, _ = linearize(T)
+            T, Hf, i, converged, e, carry = state
+            H, b, e0, _, carry = linearize(T, carry)
             d = solve(H, 0.0, b)
             delta = delta_of(d)
             T = delta @ T
-            return (T, H, i + 1, conv(delta), e0)
+            return (T, H, i + 1, conv(delta), e0, carry)
 
         def gn_cond(state):
-            _, _, i, converged, _ = state
+            _, _, i, converged, _, _ = state
             return (i < cfg.max_iterations) & ~converged
 
-        T, H, i, converged, e = jax.lax.while_loop(
-            gn_cond, gn_body, (init_T, I6, jnp.int32(0), jnp.array(False), jnp.inf)
+        T, H, i, converged, e, _ = jax.lax.while_loop(
+            gn_cond, gn_body,
+            (init_T, I6, jnp.int32(0), jnp.array(False), jnp.inf, carry_init),
         )
         return AlignResult(T, H, converged, i, e)
 
@@ -471,25 +611,25 @@ def lsq_align(
         return T, lam, success, delta
 
     def outer_body(state):
-        T, lam, i, converged, failed, Hf, e = state
-        H, b, y0, corr = linearize(T)
+        T, lam, i, converged, failed, Hf, e, carry = state
+        H, b, y0, corr, carry = linearize(T, carry)
         lam = jnp.where(
             lam < 0.0, cfg.lm_init_lambda_factor * jnp.max(jnp.abs(jnp.diag(H))), lam
         )
         T, lam, success, delta = lm_inner(T, H, b, y0, lam, corr)
         failed = ~success
         converged = conv(delta)
-        return (T, lam, i + 1, converged, failed, H, y0)
+        return (T, lam, i + 1, converged, failed, H, y0, carry)
 
     def outer_cond(state):
-        _, _, i, converged, failed, _, _ = state
+        _, _, i, converged, failed, _, _, _ = state
         return (i < cfg.max_iterations) & ~converged & ~failed
 
-    T, lam, i, converged, failed, H, e = jax.lax.while_loop(
+    T, lam, i, converged, failed, H, e, _ = jax.lax.while_loop(
         outer_cond,
         outer_body,
         (init_T, jnp.float32(-1.0), jnp.int32(0), jnp.array(False),
-         jnp.array(False), I6, jnp.float32(jnp.inf)),
+         jnp.array(False), I6, jnp.float32(jnp.inf), carry_init),
     )
     return AlignResult(T, H, converged, i, e)
 
@@ -526,6 +666,34 @@ def gicp_align(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def gicp_align_st(
+    source: jax.Array,
+    target: jax.Array,
+    source_mask: jax.Array,
+    target_mask: jax.Array,
+    init_T: jax.Array,
+    cfg: GICPConfig = GICPConfig(),
+    source_covs: Optional[jax.Array] = None,
+    target_covs: Optional[jax.Array] = None,
+) -> AlignResult:
+    """FastGICPSingleThread: correspondence reuse under the triangle bound
+    (see make_gicp_st_linearizer)."""
+    if source_covs is None:
+        source_covs = estimate_covariances(
+            source, source_mask, cfg.k_correspondences, cfg.knn_max_distance,
+            cfg.regularization,
+        ).covs
+    if target_covs is None:
+        target_covs = estimate_covariances(
+            target, target_mask, cfg.k_correspondences, cfg.knn_max_distance,
+            cfg.regularization,
+        ).covs
+    data = GICPData(source, source_mask, source_covs, target, target_mask, target_covs)
+    lin, err, carry0 = make_gicp_st_linearizer(data, cfg)
+    return lsq_align(lin, err, init_T, cfg, carry_init=carry0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def vgicp_align(
     source: jax.Array,
     target: jax.Array,
@@ -547,7 +715,7 @@ def vgicp_align(
             cfg.regularization,
         ).covs
     vm = build_voxel_map(target, target_covs, target_mask, cfg.voxel_resolution,
-                         cfg.max_voxels)
+                         cfg.max_voxels, mode=cfg.voxel_accumulation)
     data = VGICPData(source, source_mask, source_covs, vm)
     lin, err = make_vgicp_linearizer(data, cfg)
     return lsq_align(lin, err, init_T, cfg)

@@ -43,6 +43,7 @@ class FastGICP:
         self._src = self._tgt = None
         self._src_covs = self._tgt_covs = None
         self._src_qs = self._tgt_qs = None
+        self._src_filter = self._tgt_filter = None
         self._result = None
 
     # --- pygicp API ---
@@ -65,19 +66,49 @@ class FastGICP:
         self._src = _pad_pow2(np.asarray(points, np.float32))
         self._src_covs = None
         self._src_qs = None
+        self._src_filter = None
         return self
 
     def set_input_target(self, points):
         self._tgt = _pad_pow2(np.asarray(points, np.float32))
         self._tgt_covs = None
         self._tgt_qs = None
+        self._tgt_filter = None
         return self
 
     def swap_source_and_target(self):
         self._src, self._tgt = self._tgt, self._src
         self._src_covs, self._tgt_covs = self._tgt_covs, self._src_covs
         self._src_qs, self._tgt_qs = self._tgt_qs, self._src_qs
+        self._src_filter, self._tgt_filter = self._tgt_filter, self._src_filter
         return self
+
+    # --- trackable-subset filters (`set_*_filter`, `main.cpp:249-256`;
+    # `calculate_*_covariance_with_filter`, `fast_gicp_impl.hpp:586-720`).
+    # The reference's with_filter covariance loop writes a buffer sized
+    # num_trackable at raw cloud indices — an out-of-bounds latent bug; the
+    # sane contract implemented here: the filter marks the trackable subset
+    # used for registration (the mask), while q/s export still covers ALL
+    # points (as the reference intends for Gaussian init).
+    def _set_filter(self, which, num_trackable, filt):
+        pts, mask, n = getattr(self, f"_{which}")
+        f = np.zeros(len(pts), bool)
+        idx = np.asarray(filt, np.int64).reshape(-1)
+        f[idx[idx < n]] = True
+        setattr(self, f"_{which}_filter", (int(num_trackable), jnp.asarray(f)))
+        return self
+
+    def set_source_filter(self, num_trackable, filt):
+        return self._set_filter("src", num_trackable, filt)
+
+    def set_target_filter(self, num_trackable, filt):
+        return self._set_filter("tgt", num_trackable, filt)
+
+    def calculate_source_covariance_with_filter(self):
+        return self._covs("src")
+
+    def calculate_target_covariance_with_filter(self):
+        return self._covs("tgt")
 
     def _covs(self, which: str, z_values=None):
         pts, mask, n = getattr(self, f"_{which}")
@@ -145,6 +176,10 @@ class FastGICP:
     def align(self, initial_guess=np.eye(4)):
         src, smask, _ = self._src
         tgt, tmask, _ = self._tgt
+        if self._src_filter is not None:
+            smask = smask & self._src_filter[1]
+        if self._tgt_filter is not None:
+            tmask = tmask & self._tgt_filter[1]
         if self._src_covs is None:
             self._covs("src")
         if self._tgt_covs is None:
@@ -154,6 +189,20 @@ class FastGICP:
             self.cfg, source_covs=self._src_covs, target_covs=self._tgt_covs,
         )
         return np.asarray(self._result.T)
+
+    def get_source_correspondence(self):
+        """pygicp `get_source_correspondence` (`main.cpp:230-233`): nearest
+        target index (−1 when gated) + squared distance per source point at
+        the final transformation (identity before align)."""
+        src, smask, n = self._src
+        tgt, tmask, _ = self._tgt
+        T = (self._result.T if self._result is not None
+             else jnp.eye(4, dtype=jnp.float32))
+        idx, sq = _g.correspondence_dump(
+            jnp.asarray(T), src, tgt, smask, tmask,
+            corr_dist_threshold=self.cfg.corr_dist_threshold,
+        )
+        return np.asarray(idx[:n]), np.asarray(sq[:n])
 
     def get_final_transformation(self):
         return np.asarray(self._result.T)
@@ -172,9 +221,28 @@ class FastVGICP(FastGICP):
         self.cfg = dataclasses.replace(self.cfg, voxel_resolution=float(r))
         return self
 
-    def set_neighbor_search_method(self, m: str):
-        self.cfg = dataclasses.replace(self.cfg, neighbor_search=m.lower())
+    def set_neighbor_search_method(self, m: str, radius: float = 1.5):
+        self.cfg = dataclasses.replace(
+            self.cfg, neighbor_search=m.lower(), neighbor_radius=float(radius)
+        )
         return self
+
+    def set_voxel_accumulation_mode(self, m: str):
+        self.cfg = dataclasses.replace(self.cfg, voxel_accumulation=m.lower())
+        return self
+
+    def get_voxel_mean_cov(self):
+        """pygicp `get_voxel_mean_cov` (`main.cpp:268-277`): the target
+        Gaussian voxel map's (means, covs) as [V,3] / [V,3,3] arrays."""
+        tgt, tmask, _ = self._tgt
+        if self._tgt_covs is None:
+            self._covs("tgt")
+        vm = _g.build_voxel_map(
+            tgt, self._tgt_covs, tmask, self.cfg.voxel_resolution,
+            self.cfg.max_voxels, mode=self.cfg.voxel_accumulation,
+        )
+        V = int(vm.n_voxels)
+        return np.asarray(vm.means)[:V], np.asarray(vm.covs)[:V]
 
     def _align_fn(self):
         return _g.vgicp_align
@@ -224,9 +292,15 @@ def downsample(points, resolution: float) -> np.ndarray:
 
 
 class FastGICPSingleThread(FastGICP):
-    """API alias (`gicp/fast_gicp_st.hpp`): thread count is an XLA concern."""
+    """FastGICPSingleThread (`gicp/fast_gicp_st.hpp`): correspondence reuse
+    across LM iterations under the triangle-inequality early-termination
+    bound — RESULT-parity implementation (see `gicp.make_gicp_st_linearizer`;
+    thread count itself is an XLA concern)."""
 
     method = "gicp_st"
+
+    def _align_fn(self):
+        return _g.gicp_align_st
 
 
 class FastVGICPCuda(FastVGICP):

@@ -170,3 +170,80 @@ def test_masked_points_ignored(clouds):
     )
     te, re = errors(np.asarray(res.T), T_gt)
     assert te < 0.05 and re < 1.0, (te, re)
+
+
+def test_gicp_st_alignment_gate(clouds):
+    """FastGICPSingleThread (correspondence-reuse) meets the same 5 cm/1°
+    gate (`fast_gicp_st_impl.hpp` semantics)."""
+    source, target, T_gt, mask = clouds
+    res = gicp.gicp_align_st(
+        jnp.asarray(source), jnp.asarray(target), jnp.asarray(mask),
+        jnp.asarray(mask), jnp.eye(4), CFG,
+    )
+    trans_err, rot_err = errors(np.asarray(res.T), T_gt)
+    assert bool(res.converged)
+    assert trans_err < 0.05 and rot_err < 1.0, (trans_err, rot_err)
+
+
+def test_correspondence_dump(clouds):
+    source, target, T_gt, mask = clouds
+    idx, sq = gicp.correspondence_dump(
+        jnp.asarray(T_gt), jnp.asarray(source), jnp.asarray(target),
+        jnp.asarray(mask), jnp.asarray(mask),
+    )
+    idx, sq = np.asarray(idx), np.asarray(sq)
+    assert idx.shape == (len(source),) and (idx >= 0).all()
+    # at the true transform, matches are near-exact surface re-samples
+    assert np.median(sq) < 0.02
+
+
+def test_multiplicative_voxel_map(rng):
+    """MULTIPLICATIVE accumulation = product-of-Gaussians fusion
+    (`fast_vgicp_voxel.hpp:60-99`): two identical isotropic members give
+    cov/2 in one-point... verify against a hand-computed 2-point voxel."""
+    pts = np.array([[0.2, 0.2, 0.2], [0.3, 0.3, 0.3]], np.float32)
+    covs = np.stack([np.eye(3) * 0.5, np.eye(3) * 1.0]).astype(np.float32)
+    mask = np.ones(2, bool)
+    vm = gicp.build_voxel_map(jnp.asarray(pts), jnp.asarray(covs),
+                              jnp.asarray(mask), 1.0, 8, mode="multiplicative")
+    # Σ = (Σ₁⁻¹+Σ₂⁻¹)⁻¹ = (2I + I)⁻¹ = I/3 ; μ = Σ(Σᵢ⁻¹ μᵢ)
+    expect_cov = np.eye(3) / 3.0
+    expect_mean = expect_cov @ (2.0 * pts[0] + 1.0 * pts[1])
+    np.testing.assert_allclose(np.asarray(vm.covs[0]), expect_cov, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vm.means[0]), expect_mean, atol=1e-5)
+
+
+def test_direct_radius_offsets():
+    offs = gicp.neighbor_offsets("direct_radius", 1.5)
+    assert (0, 0, 0) in offs
+    # radius 1.5 covers unit and face-diagonal neighbors but not (1,1,1)
+    assert (1, 1, 0) in offs and (1, 1, 1) not in offs
+    assert len(offs) == 19
+
+
+def test_registration_api_tail(clouds):
+    """pygicp surface: ST class, filters, correspondence getter, voxel dump."""
+    from sags_tpu.ops.registration import FastGICPSingleThread, FastVGICP
+
+    source, target, T_gt, mask = clouds
+    st = FastGICPSingleThread(CFG)
+    st.set_input_target(target)
+    st.set_input_source(source)
+    # trackable filter: drop the last quarter of source points
+    keep = np.arange(int(len(source) * 0.75))
+    st.set_source_filter(len(keep), keep)
+    T = st.align()
+    trans_err, rot_err = errors(np.asarray(T), T_gt)
+    assert st.has_converged() and trans_err < 0.05
+
+    idx, sq = st.get_source_correspondence()
+    assert idx.shape == (len(source),)
+
+    vg = FastVGICP(CFG)
+    vg.set_input_target(target)
+    vg.set_input_source(source)
+    vg.set_voxel_accumulation_mode("additive_weighted")
+    vg.set_neighbor_search_method("DIRECT_RADIUS", radius=1.5)
+    means, covs = vg.get_voxel_mean_cov()
+    assert means.ndim == 2 and covs.shape[1:] == (3, 3)
+    assert len(means) == len(covs) > 0
