@@ -53,6 +53,12 @@ def sh_to_rgb(sh: jax.Array) -> jax.Array:
 def eval_sh(deg: int, sh: jax.Array, dirs: jax.Array) -> jax.Array:
     """Evaluate SH at unit directions.
 
+    Provenance: the hardcoded real-SH basis polynomials below are the
+    standard closed forms originating from PlenOctree (BSD-2, Yu et al.),
+    vendored by every 3DGS codebase incl. the reference
+    (`utils/sh_utils.py:57-118`); there is essentially one canonical
+    spelling of these coefficients.
+
     Args:
       deg: degree 0..4 (static).
       sh: [..., C, (deg+1)**2] coefficients.

@@ -61,39 +61,33 @@ def nms_xyxy(boxes: np.ndarray, scores: np.ndarray, iou_th: float) -> np.ndarray
 
 
 def _connected_components(labels: np.ndarray) -> np.ndarray:
-    """4-connected components of an integer label image (two-pass union-find)."""
+    """4-connected components of an integer label image.
+
+    Vectorized min-label propagation: seed every pixel with its flat index
+    and iteratively take the min over same-label 4-neighbors until fixpoint
+    (≤ image diameter iterations, whole-array numpy ops each — replaces the
+    earlier pure-Python double loop, O(HW) python-ops per frame)."""
     H, W = labels.shape
-    comp = -np.ones((H, W), np.int64)
-    parent = []
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    nxt = 0
-    for y in range(H):
-        for x in range(W):
-            up = comp[y - 1, x] if y and labels[y - 1, x] == labels[y, x] else -1
-            left = comp[y, x - 1] if x and labels[y, x - 1] == labels[y, x] else -1
-            if up < 0 and left < 0:
-                comp[y, x] = nxt
-                parent.append(nxt)
-                nxt += 1
-            elif up >= 0 and left >= 0:
-                ru, rl = find(up), find(left)
-                comp[y, x] = ru
-                if ru != rl:
-                    parent[max(ru, rl)] = min(ru, rl)
-            else:
-                comp[y, x] = max(up, left)
-    # flatten
-    out = np.empty_like(comp)
-    for y in range(H):
-        for x in range(W):
-            out[y, x] = find(comp[y, x])
-    return out
+    comp = np.arange(H * W, dtype=np.int64).reshape(H, W)
+    same_u = np.zeros((H, W), bool)
+    same_u[1:] = labels[1:] == labels[:-1]
+    same_l = np.zeros((H, W), bool)
+    same_l[:, 1:] = labels[:, 1:] == labels[:, :-1]
+    while True:
+        nxt = comp.copy()
+        # up / down
+        nxt[1:][same_u[1:]] = np.minimum(nxt[1:], comp[:-1])[same_u[1:]]
+        nxt[:-1][same_u[1:]] = np.minimum(nxt[:-1], comp[1:])[same_u[1:]]
+        # left / right
+        nxt[:, 1:][same_l[:, 1:]] = np.minimum(nxt[:, 1:], comp[:, :-1])[same_l[:, 1:]]
+        nxt[:, :-1][same_l[:, 1:]] = np.minimum(nxt[:, :-1], comp[:, 1:])[same_l[:, 1:]]
+        if np.array_equal(nxt, comp):
+            break
+        # pointer jumping (path halving): label ← label-of-label, which makes
+        # convergence logarithmic instead of O(component diameter)
+        f = nxt.ravel()
+        comp = f[f[nxt]]
+    return comp
 
 
 class SegmentationBoxProposer:

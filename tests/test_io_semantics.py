@@ -77,12 +77,38 @@ def test_frame_queue(rng):
     ]
     for f in frames:
         f.colors = np.zeros((len(f.points), 3), np.float32)
-    out = list(FrameQueue(frames, point_budget=16))
+    out = list(FrameQueue(iter(frames), point_budget=16))  # generator input
     assert len(out) == 4
-    for f, df in zip(frames, out):
+    for f, (df, hf) in zip(frames, out):
+        assert hf is f  # host frame rides alongside the staged device frame
         n = min(len(f.points), 16)
         assert int(df.mask.sum()) == n
         np.testing.assert_allclose(np.asarray(df.points[:n]), f.points[:n], atol=1e-6)
+
+
+def test_frame_queue_timeout():
+    """cfg.timeout_s semantics: silence after the first frame ends iteration
+    gracefully (the reference's 10 s topic-silence shutdown, `:652-666`)."""
+    import time as _time
+
+    from sags_tpu.io.datasets import Frame
+
+    def slow_stream():
+        for i in range(3):
+            yield Frame(
+                image=np.zeros((3, 8, 8), np.float32),
+                points=np.zeros((4, 3), np.float32),
+                colors=np.zeros((4, 3), np.float32),
+                pose=np.eye(4, dtype=np.float32),
+                timestamp=float(i),
+            )
+            if i == 1:
+                _time.sleep(0.5)  # silence > timeout_s
+
+    q = FrameQueue(slow_stream(), point_budget=8, timeout_s=0.15)
+    out = list(q)
+    assert len(out) == 2
+    assert q.timed_out
 
 
 def test_project_points_pinhole():

@@ -1,0 +1,82 @@
+"""Segmentation QUALITY gates (VERDICT round-1 item 3): the semantic stack
+must be measurably real, not structurally-complete noise.
+
+ * `test_geometric_masks_iou` — the default (weights-free) geometric mask
+   generator reaches mean best-match IoU > 0.5 against ground-truth
+   instances on the synthetic scene.
+ * `test_objects_channels_classify_back` — training the map + classifier on
+   ground-truth masks makes the RENDERED 16-channel object features classify
+   back to the ground-truth labels (the end-to-end contract of the
+   reference's semantic path, `scripts/gaussian_splatting.py:493-580,798-826`).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sags_tpu.io.datasets import SyntheticDataset
+from sags_tpu.semantics.geometric import GeometricMaskGenerator
+
+
+def _best_match_iou(gt: np.ndarray, pred: np.ndarray, min_area: int = 50):
+    """For each GT instance, IoU of the best-overlapping predicted label."""
+    ious = []
+    for g in np.unique(gt):
+        if g == 0:
+            continue
+        gm = gt == g
+        if gm.sum() < min_area:
+            continue
+        labels, counts = np.unique(pred[gm], return_counts=True)
+        best = labels[np.argmax(counts)]
+        pm = pred == best
+        ious.append((gm & pm).sum() / max((gm | pm).sum(), 1))
+    return float(np.mean(ious)) if ious else 0.0
+
+
+def test_geometric_masks_iou():
+    ds = SyntheticDataset(n_frames=3, width=160, height=120, n_world=8192,
+                          pts_per_frame=1024, clutter=0.4, seed=2)
+    gen = GeometricMaskGenerator(n_clusters=12, work_size=120, seed=0)
+    scores = []
+    for i, frame in enumerate(ds):
+        gt = ds.gt_objects(i)
+        pred = gen.generate_objects(frame.image, frame.depth)
+        scores.append(_best_match_iou(gt, pred))
+    mean_iou = float(np.mean(scores))
+    assert mean_iou > 0.5, f"geometric segmentation mean IoU {mean_iou:.3f}"
+
+
+def test_objects_channels_classify_back():
+    from sags_tpu.core.config import MapConfig, RasterizeConfig, SLAMConfig
+    from sags_tpu.models.classifier import apply_classifier
+    from sags_tpu.slam import step as slam
+
+    ds = SyntheticDataset(n_frames=1, width=96, height=96, n_world=4096,
+                          pts_per_frame=4096, clutter=0.4, seed=3)
+    frame = next(iter(ds))
+    gt = ds.gt_objects(0)  # instance ids double as class labels here
+
+    cfg = SLAMConfig(
+        raster=RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=256,
+                               chunk=64, windowed=False),
+        map=MapConfig(initial_capacity=8192, prune_interval=10_000),
+    )
+    state = slam.init_state(cfg, jax.random.key(0))
+    add = slam.make_add_points(cfg, donate=False)
+    state, _ = add(state, jnp.asarray(frame.points), jnp.asarray(frame.colors),
+                   jnp.ones(len(frame.points), bool))
+    cam = ds.camera(0)
+    img = jnp.asarray(frame.image)
+    obj = jnp.asarray(gt.astype(np.int32))
+    stepfn = slam.make_slam_step(cfg, donate=False)
+    for _ in range(250):
+        state, metrics = stepfn(state, cam, img, obj)
+
+    out = slam.render_map(state.map, cam, cfg)
+    logits = apply_classifier(state.classifier, out.objects)
+    pred = np.asarray(jnp.argmax(logits, axis=0))
+    fg = gt > 0
+    acc = float((pred[fg] == gt[fg]).mean())
+    assert acc > 0.6, f"rendered-objects classification accuracy {acc:.3f}"
