@@ -122,8 +122,12 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
     out = {}
     with open(path) as f:
-        lines = [l for l in f if not l.startswith("#") and l.strip()]
+        # keep EMPTY lines: the points2D line of a featureless image is blank
+        # and still occupies its slot in the alternating meta/points structure
+        lines = [l for l in f if not l.startswith("#")]
     for meta in lines[0::2]:
+        if not meta.strip():
+            continue
         parts = meta.split()
         iid = int(parts[0])
         out[iid] = ColmapImage(

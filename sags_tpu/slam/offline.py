@@ -147,3 +147,43 @@ def train_offline(
             print(f"iter {step}: loss={losses[-1]:.4f} "
                   f"active={int(gm.n_active(state.map))}")
     return state, losses
+
+
+def train_offline_scene(
+    scene, cfg: SLAMConfig, iterations: int, capacity: Optional[int] = None,
+    seed: int = 0, log_every: int = 0,
+):
+    """Offline optimization of an assembled COLMAP scene
+    (`io.colmap_scene.load_colmap_scene` output) — the `readColmapSceneInfo`
+    → `Scene` → training-loop path of the reference (configs #2/#3).
+
+    The nerf++ radius seeds the scene extent (spatial-lr-scale / prune
+    extent), as `Scene.__init__` does with `nerf_normalization["radius"]`.
+    """
+    import dataclasses
+
+    views = [v for v in scene.train_views if v.image is not None]
+    if not views:
+        raise ValueError("COLMAP scene has no views with images")
+    cfg = cfg.replace(scene_extent=float(scene.radius))
+    state = init_from_points(scene.points, scene.colors, cfg, capacity,
+                             jax.random.key(seed))
+    step_fn = make_train_step(cfg, donate=False)
+    densify_jit = jax.jit(lambda s: densify_event(s, cfg))
+    rng = np.random.default_rng(seed)
+    imgs = [jnp.asarray(v.image) for v in views]
+    losses: List[float] = []
+    for it in range(iterations):
+        i = rng.integers(len(views))
+        state, loss = step_fn(state, views[i].camera, imgs[i])
+        losses.append(float(loss))
+        step = it + 1
+        if (cfg.opt.densify_from_iter <= step <= cfg.opt.densify_until_iter
+                and step % cfg.opt.densification_interval == 0):
+            state = densify_jit(state)
+        if step % cfg.opt.opacity_reset_interval == 0:
+            state = state._replace(map=gm.reset_opacity(state.map))
+        if log_every and step % log_every == 0:
+            print(f"iter {step}: loss={losses[-1]:.4f} "
+                  f"active={int(gm.n_active(state.map))}")
+    return state, losses
