@@ -28,13 +28,19 @@ extern "C" {
 // ---------------------------------------------------------------------------
 int sags_voxel_downsample(const float* pts, int n, float resolution,
                           float* out, int max_out) {
+  // Key on the exact (cx,cy,cz) triple; the spatial-hash primes are only the
+  // HASHER (as in fast_gicp/PCL), so colliding cells are resolved by equality
+  // instead of silently merged.
   struct Key {
-    int64_t v;
-    bool operator==(const Key& o) const { return v == o.v; }
+    int64_t cx, cy, cz;
+    bool operator==(const Key& o) const {
+      return cx == o.cx && cy == o.cy && cz == o.cz;
+    }
   };
   struct KeyHash {
     size_t operator()(const Key& k) const {
-      return std::hash<int64_t>()(k.v);
+      return (size_t)((k.cx * 73856093LL) ^ (k.cy * 19349669LL) ^
+                      (k.cz * 83492791LL));
     }
   };
   std::unordered_map<Key, std::pair<int, std::array<double, 3>>, KeyHash> cells;
@@ -46,7 +52,7 @@ int sags_voxel_downsample(const float* pts, int n, float resolution,
     const int64_t cx = (int64_t)std::floor(x * inv);
     const int64_t cy = (int64_t)std::floor(y * inv);
     const int64_t cz = (int64_t)std::floor(z * inv);
-    Key k{(cx * 73856093LL) ^ (cy * 19349669LL) ^ (cz * 83492791LL)};
+    Key k{cx, cy, cz};
     auto& cell = cells[k];
     cell.first++;
     cell.second[0] += x;
