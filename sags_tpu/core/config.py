@@ -37,6 +37,10 @@ class RasterizeConfig:
     scale_modifier: float = 1.0
     remat: bool = True  # rematerialize compositing chunks in backward
     pallas_backward: bool = True  # fused Pallas compositing backward on TPU
+    # Run the SHARDED Pallas compositor in interpreter mode on non-TPU
+    # backends — lets the multi-chip kernel path be equivalence-tested on the
+    # virtual CPU mesh (tests/conftest.py). No effect on TPU.
+    pallas_interpret: bool = False
     # Windowed (gather-free) TPU render path: packed rows are anchor-sorted
     # and the compositor DMAs per-tile candidate spans into a shared VMEM
     # window of `window_blocks` TOTAL 128-row blocks, allocated per span by

@@ -36,9 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 HDR = 8  # header rows (geometry); feature rows start here
 
 
-def _kernel(counts_ref, gt_ref, acc_out, t_out, acc_s, t_s, *, tile, tiles_x,
-            alpha_min, t_min):
-    t = pl.program_id(0)
+def _kernel(counts_ref, toff_ref, gt_ref, acc_out, t_out, acc_s, t_s, *, tile,
+            tiles_x, alpha_min, t_min):
+    t = pl.program_id(0)  # LOCAL tile index (indexes counts/blocks)
+    tg = t + toff_ref[0]  # GLOBAL tile index (pixel coordinates) — under
+    # shard_map each device holds a contiguous tile slice; toff maps local
+    # program ids back to global tile coords.
     c = pl.program_id(1)
     NC = pl.num_programs(1)
     K = gt_ref.shape[2]
@@ -58,8 +61,8 @@ def _kernel(counts_ref, gt_ref, acc_out, t_out, acc_s, t_s, *, tile, tiles_x,
     def _():
         g = gt_ref[0]  # [32, K]
         # pixel coordinates of this tile
-        base_x = ((t % tiles_x) * tile).astype(jnp.float32)
-        base_y = ((t // tiles_x) * tile).astype(jnp.float32)
+        base_x = ((tg % tiles_x) * tile).astype(jnp.float32)
+        base_y = ((tg // tiles_x) * tile).astype(jnp.float32)
         pix_row = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 0)
         px = base_x + (pix_row % tile).astype(jnp.float32)
         py = base_y + (pix_row // tile).astype(jnp.float32)
@@ -109,7 +112,9 @@ def _kernel(counts_ref, gt_ref, acc_out, t_out, acc_s, t_s, *, tile, tiles_x,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "tiles_x", "alpha_min", "t_min", "chunk")
+    jax.jit,
+    static_argnames=("tile", "tiles_x", "alpha_min", "t_min", "chunk",
+                     "interpret"),
 )
 def composite_fused(
     gt: jax.Array,  # [NT, 32, K_TILE] channel-major gathered rows
@@ -119,6 +124,8 @@ def composite_fused(
     alpha_min: float = 1.0 / 255.0,
     t_min: float = 1e-4,
     chunk: int = 256,
+    tile_offset=None,  # global id of local tile 0 (shard_map slices)
+    interpret: bool = False,  # Pallas interpreter (CPU-mesh tests)
 ):
     """Returns (accum [NT, PIX, CF], T_final [NT, PIX])."""
     NT, CH, K_TILE = gt.shape
@@ -128,21 +135,25 @@ def composite_fused(
     NC = K_TILE // K
     PIX = tile * tile
     CF = CH - HDR
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
+    else:
+        tile_offset = jnp.asarray(tile_offset, jnp.int32).reshape(1)
 
     kern = functools.partial(
         _kernel, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min, t_min=t_min
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(NT, NC),
         in_specs=[
-            pl.BlockSpec((1, CH, K), lambda t, c, counts: (t, 0, c),
+            pl.BlockSpec((1, CH, K), lambda t, c, *_: (t, 0, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, PIX, CF), lambda t, c, counts: (t, 0, 0),
+            pl.BlockSpec((1, PIX, CF), lambda t, c, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, 1), lambda t, c, counts: (t, 0, 0),
+            pl.BlockSpec((1, PIX, 1), lambda t, c, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -157,7 +168,8 @@ def composite_fused(
             jax.ShapeDtypeStruct((NT, PIX, CF), jnp.float32),
             jax.ShapeDtypeStruct((NT, PIX, 1), jnp.float32),
         ],
-    )(counts.astype(jnp.int32), gt)
+        interpret=interpret,
+    )(counts.astype(jnp.int32), tile_offset, gt)
     return acc, T[..., 0]
 
 
@@ -190,10 +202,11 @@ def _prefix_hs(x, k_iota, K, exclusive=True):
     return inc - x if exclusive else inc
 
 
-def _bwd_kernel(counts_ref, gt_ref, dacc_ref, dt_ref, tn_ref, dgt_ref,
-                t_entry_s, carry_s, dg_s, *, tile, tiles_x, alpha_min, t_min,
-                chunk):
-    t = pl.program_id(0)
+def _bwd_kernel(counts_ref, toff_ref, gt_ref, dacc_ref, dt_ref, tn_ref,
+                dgt_ref, t_entry_s, carry_s, dg_s, *, tile, tiles_x,
+                alpha_min, t_min, chunk):
+    t = pl.program_id(0)  # local (counts/block index)
+    tg = t + toff_ref[0]  # global (pixel coordinates)
     CH, K_TILE = gt_ref.shape[1], gt_ref.shape[2]
     K = chunk
     NC = K_TILE // K
@@ -205,8 +218,8 @@ def _bwd_kernel(counts_ref, gt_ref, dacc_ref, dt_ref, tn_ref, dgt_ref,
     dT_px = dt_ref[0]  # [PIX, 1]
     T_N = tn_ref[0]  # [PIX, 1]
 
-    base_x = ((t % tiles_x) * tile).astype(jnp.float32)
-    base_y = ((t // tiles_x) * tile).astype(jnp.float32)
+    base_x = ((tg % tiles_x) * tile).astype(jnp.float32)
+    base_y = ((tg // tiles_x) * tile).astype(jnp.float32)
     pix_row = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 0)
     px = base_x + (pix_row % tile).astype(jnp.float32)
     py = base_y + (pix_row // tile).astype(jnp.float32)
@@ -298,7 +311,9 @@ def _bwd_kernel(counts_ref, gt_ref, dacc_ref, dt_ref, tn_ref, dgt_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "tiles_x", "alpha_min", "t_min", "chunk")
+    jax.jit,
+    static_argnames=("tile", "tiles_x", "alpha_min", "t_min", "chunk",
+                     "interpret"),
 )
 def composite_fused_bwd(
     gt: jax.Array,  # [NT, CH, K_TILE]
@@ -311,6 +326,8 @@ def composite_fused_bwd(
     alpha_min: float = 1.0 / 255.0,
     t_min: float = 1e-4,
     chunk: int = 256,
+    tile_offset=None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Returns dGt [NT, CH, K_TILE]."""
     NT, CH, K_TILE = gt.shape
@@ -318,25 +335,29 @@ def composite_fused_bwd(
     NC = K_TILE // K
     PIX = tile * tile
     CF = CH - HDR
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
+    else:
+        tile_offset = jnp.asarray(tile_offset, jnp.int32).reshape(1)
 
     kern = functools.partial(
         _bwd_kernel, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min,
         t_min=t_min, chunk=K,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(NT,),
         in_specs=[
-            pl.BlockSpec((1, CH, K_TILE), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, CH, K_TILE), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, CF), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, PIX, CF), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, 1), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, 1), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, CH, K_TILE), lambda t, c: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, CH, K_TILE), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((PIX, NC), jnp.float32),       # chunk-entry T
@@ -348,4 +369,6 @@ def composite_fused_bwd(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NT, CH, K_TILE), jnp.float32),
-    )(counts.astype(jnp.int32), gt, d_accum, d_T[..., None], T_final[..., None])
+        interpret=interpret,
+    )(counts.astype(jnp.int32), tile_offset, gt, d_accum, d_T[..., None],
+      T_final[..., None])

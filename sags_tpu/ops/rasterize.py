@@ -401,6 +401,17 @@ def _tile_pixel_coords(tiles_x: int, tiles_y: int, tile: int):
     return px, py
 
 
+def _tile_pixel_coords_ids(tile_ids: jax.Array, tiles_x: int, tile: int):
+    """Pixel coords for an explicit (possibly traced) list of global tile
+    ids — the shard_map-local view where tile 0 is some device's slice start."""
+    base_x = ((tile_ids % tiles_x) * tile)[:, None].astype(jnp.float32)
+    base_y = ((tile_ids // tiles_x) * tile)[:, None].astype(jnp.float32)
+    ly, lx = jnp.meshgrid(jnp.arange(tile), jnp.arange(tile), indexing="ij")
+    px = base_x + lx.reshape(-1)[None, :].astype(jnp.float32)
+    py = base_y + ly.reshape(-1)[None, :].astype(jnp.float32)
+    return px, py
+
+
 def composite(
     table: jax.Array,
     counts: jax.Array,
@@ -421,8 +432,7 @@ def composite(
     """
     px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
     use_pallas = (
-        jax.default_backend() == "tpu"
-        and mesh is None
+        (jax.default_backend() == "tpu" or (mesh is not None and cfg.pallas_interpret))
         and table.shape[1] % 128 == 0
         and cfg.tile * cfg.tile >= 8
     )
@@ -431,9 +441,13 @@ def composite(
         # BOTH the Pallas forward and the XLA recompute — the plain XLA path
         # computes forward exactly once there. Inference keeps the kernel.
         use_pallas = use_pallas and fused
-    if use_pallas:
+    if use_pallas and mesh is None:
         accum, T_final = _composite_pallas_with_xla_vjp(
             G, table, counts, n_feat, tiles_x, tiles_y, cfg
+        )
+    elif use_pallas:
+        accum, T_final = _composite_pallas_sharded(
+            G, table, counts, n_feat, tiles_x, tiles_y, cfg, mesh
         )
     else:
         accum, T_final = _composite_core_xla(
@@ -442,40 +456,52 @@ def composite(
     return accum, T_final, px, py
 
 
-def _composite_pallas_with_xla_vjp(G, table, counts, n_feat, tiles_x, tiles_y, cfg):
+def _composite_pallas_with_xla_vjp(G, table, counts, n_feat, tiles_x, tiles_y,
+                                   cfg, tile_offset=None, interpret=False):
+    import numpy as _np
+
     from sags_tpu.ops.pallas_composite import composite_fused, composite_fused_bwd
 
     K_TILE = table.shape[1]
     K_chunk = 256 if K_TILE % 256 == 0 else 128  # must divide tile_capacity
     K_chunk = min(K_chunk, K_TILE)
-    safe_table = jnp.maximum(table, 0)
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
+    tile_offset = jnp.asarray(tile_offset, jnp.int32).reshape(1)
 
-    def primal(G):
-        Gt = G[safe_table].transpose(0, 2, 1)  # [NT, 32, K_TILE]
+    # table/counts/tile_offset are explicit custom_vjp primals (with float0
+    # cotangents): closing over them leaks tracers under shard_map.
+    def primal(G, table, counts, toff):
+        Gt = G[jnp.maximum(table, 0)].transpose(0, 2, 1)  # [NT, 32, K_TILE]
         acc, T = composite_fused(
             Gt, counts, cfg.tile, tiles_x,
             alpha_min=cfg.alpha_min, t_min=cfg.transmittance_min,
-            chunk=K_chunk,
+            chunk=K_chunk, tile_offset=toff, interpret=interpret,
         )
         return acc[..., :n_feat], T
 
     f = jax.custom_vjp(primal)
 
-    def fwd(G):
-        out = primal(G)
-        return out, (G, out[1])
+    def fwd(G, table, counts, toff):
+        out = primal(G, table, counts, toff)
+        return out, (G, table, counts, toff, out[1])
 
     def bwd(res, cots):
-        G, T_final = res
+        G, table, counts, toff, T_final = res
         d_acc, d_T = cots
+        zeros_int = tuple(
+            _np.zeros(x.shape, jax.dtypes.float0) for x in (table, counts, toff)
+        )
         if not cfg.pallas_backward:
             _, vjp = jax.vjp(
                 lambda g: _composite_core_xla(
-                    g, table, counts, n_feat, tiles_x, tiles_y, cfg, None
+                    g, table, counts, n_feat, tiles_x, tiles_y, cfg, None,
+                    tile_offset=toff,
                 ),
                 G,
             )
-            return vjp((d_acc, d_T))
+            (dG,) = vjp((d_acc, d_T))
+            return (dG,) + zeros_int
         # Fused backward kernel: per-pair gradients, then one deterministic
         # scatter-add by Gaussian id (vs the reference's atomicAdd).
         CH = G.shape[-1]
@@ -484,17 +510,61 @@ def _composite_pallas_with_xla_vjp(G, table, counts, n_feat, tiles_x, tiles_y, c
             [d_acc, jnp.zeros(d_acc.shape[:-1] + (CF - n_feat,), d_acc.dtype)],
             axis=-1,
         )
+        safe_table = jnp.maximum(table, 0)
         Gt = G[safe_table].transpose(0, 2, 1)
         dGt = composite_fused_bwd(
             Gt, counts, d_acc_full, d_T, T_final, cfg.tile, tiles_x,
             alpha_min=cfg.alpha_min, t_min=cfg.transmittance_min, chunk=K_chunk,
+            tile_offset=toff, interpret=interpret,
         )
         dG_rows = dGt.transpose(0, 2, 1).reshape(-1, CH)
         dG = jnp.zeros_like(G).at[safe_table.reshape(-1)].add(dG_rows)
-        return (dG,)
+        return (dG,) + zeros_int
 
     f.defvjp(fwd, bwd)
-    return f(G)
+    return f(G, table, counts, tile_offset)
+
+
+def _composite_pallas_sharded(G, table, counts, n_feat, tiles_x, tiles_y, cfg,
+                              mesh):
+    """Multi-chip fused compositing: shard_map over the tiles axis, each
+    device running the fused Pallas forward+backward on its contiguous tile
+    slice (global pixel coords recovered via a tile_offset scalar). G stays
+    replicated; shard_map's transpose psums the per-device dG scatter-adds
+    over ICI — the same all-reduce GSPMD would insert, but around the fast
+    kernels instead of the XLA scan. (VERDICT round-1 weak #6.)"""
+    from jax.sharding import PartitionSpec as P
+
+    from sags_tpu.parallel.mesh import TILE_AXIS
+
+    ndev = mesh.shape[TILE_AXIS]
+    NT = table.shape[0]
+    NT_pad = -(-NT // ndev) * ndev
+    if NT_pad != NT:
+        # padded tiles have counts=0: the kernel's chunk-skip makes them free
+        table = jnp.concatenate(
+            [table, jnp.full((NT_pad - NT, table.shape[1]), -1, table.dtype)]
+        )
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((NT_pad - NT,), counts.dtype)]
+        )
+    interpret = jax.default_backend() != "tpu"
+
+    def local(G, table, counts):
+        toff = jax.lax.axis_index(TILE_AXIS) * (NT_pad // ndev)
+        return _composite_pallas_with_xla_vjp(
+            G, table, counts, n_feat, tiles_x, tiles_y, cfg,
+            tile_offset=toff[None], interpret=interpret,
+        )
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS, None), P(TILE_AXIS)),
+        out_specs=(P(TILE_AXIS, None, None), P(TILE_AXIS, None)),
+        check_vma=False,
+    )
+    acc, T = fn(G, table, counts)
+    return acc[:NT], T[:NT]
 
 
 # ---------------------------------------------------------------------------
@@ -731,6 +801,7 @@ def _composite_core_xla(
     tiles_y: int,
     cfg: RasterizeConfig,
     mesh=None,
+    tile_offset=None,
 ):
     NT, K_TILE = table.shape
     K = cfg.chunk
@@ -738,7 +809,11 @@ def _composite_core_xla(
     assert n_chunks * K == K_TILE, "tile_capacity must be a multiple of chunk"
     PIX = cfg.tile * cfg.tile
 
-    px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
+    if tile_offset is None:
+        px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
+    else:
+        ids = jnp.asarray(tile_offset).reshape(()) + jnp.arange(NT)
+        px, py = _tile_pixel_coords_ids(ids, tiles_x, cfg.tile)
 
     # Pre-gather ALL rows once: the scan then reads contiguous slices, so the
     # remat backward recomputes from stored xs instead of re-gathering, and

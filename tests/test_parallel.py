@@ -79,3 +79,30 @@ def test_shard_tiles_places_data():
     assert float(y.sum()) == 80 * 256
     # sharded across 8 devices on the tile axis
     assert len(y.sharding.device_set) == 8
+
+
+def test_sharded_pallas_step_matches_single_device():
+    """The multi-chip path must not forfeit the fused Pallas kernels: with
+    `pallas_interpret` the shard_map compositor runs the real kernel code
+    (interpreted on the CPU mesh, compiled on TPU) and must match the
+    single-device XLA step bit-for-tolerance."""
+    cfg = SLAMConfig(
+        raster=RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=128,
+                               chunk=16, pallas_interpret=True),
+        map=MapConfig(initial_capacity=512),
+        semantics=SemanticsConfig(cls3d_sample=16, num_classes=16),
+    )
+    state0, cam, gt_img, gt_obj = setup(cfg)
+    mesh = make_mesh(8)
+
+    s1, m1 = slam.make_slam_step(cfg, donate=False)(state0, cam, gt_img, gt_obj)
+    s8, m8 = slam.make_slam_step(cfg, donate=False, mesh=mesh)(
+        state0, cam, gt_img, gt_obj
+    )
+    np.testing.assert_allclose(float(m1.loss), float(m8.loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.map.f_dc), np.asarray(s8.map.f_dc), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.map.xyz), np.asarray(s8.map.xyz), atol=1e-6
+    )
