@@ -58,7 +58,16 @@ def cmd_run_slam(args):
         cfg = cfg.replace(map=dataclasses.replace(cfg.map,
                                                   initial_capacity=args.capacity))
     frames = _load_dataset(args)
-    mask_gen = MaskGenerator(num_classes=cfg.semantics.num_classes) if args.semantics else None
+    mask_gen = None
+    if args.semantics:
+        if args.mask_backend == "geometric":
+            from sags_tpu.semantics.geometric import GeometricMaskGenerator
+
+            mask_gen = GeometricMaskGenerator(
+                num_classes=cfg.semantics.num_classes
+            )
+        else:  # SAM with the shipped synthetic-trained weights when present
+            mask_gen = MaskGenerator(num_classes=cfg.semantics.num_classes)
     pipe = SLAMPipeline(cfg, mask_generator=mask_gen, point_budget=args.point_budget)
     t0 = time.perf_counter()
     res = pipe.run(frames)
@@ -231,6 +240,8 @@ def main(argv=None):
     sp.add_argument("--tracking", default="none",
                     choices=["none", "gicp", "vgicp", "esikf"])
     sp.add_argument("--semantics", action="store_true")
+    sp.add_argument("--mask-backend", default="geometric",
+                    choices=["geometric", "sam"])
     sp.add_argument("--post-train", type=int, default=100)
     sp.add_argument("--point-budget", type=int, default=4096)
     sp.add_argument("--capacity", type=int, default=0)

@@ -234,6 +234,17 @@ class SAM:
             self.params = jax.tree.map(jnp.asarray, pickle.load(f))
         return self
 
+    @classmethod
+    def pretrained(cls, **kw) -> "SAM":
+        """SAM with the shipped synthetic-data-trained weights when present
+        (`models/weights/sam_synth.pkl`, produced by `models/sam_train.py`),
+        random-init otherwise."""
+        sam = cls(**kw)
+        from sags_tpu.models.sam_train import load_pretrained
+
+        load_pretrained(sam)
+        return sam
+
 
 def sam_model_registry_entry(name: str):
     def build(checkpoint: Optional[str] = None, **kw):

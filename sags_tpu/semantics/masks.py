@@ -32,7 +32,7 @@ class MaskGenerator:
         seed: int = 0,
     ):
         self.box_proposer = box_proposer or SegmentationBoxProposer()
-        self.sam = sam or SAM()
+        self.sam = sam or SAM.pretrained()
         self.predictor = SamPredictor(self.sam)
         self.num_classes = num_classes
         self.imgsz = imgsz
