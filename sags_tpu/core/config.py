@@ -48,6 +48,11 @@ class RasterizeConfig:
     # pipeline-adapted.
     windowed: bool = True
     window_blocks: int = 16
+    # Fraction of P reserved for the LARGE-rect tier of the windowed pair
+    # expansion (rect > 2 tiles get the full RxR offsets from this compacted
+    # buffer; everyone gets the 2x2 tier). Saturation is surfaced as
+    # `overflow_big` and pipeline-adapted (doubled, capped at 1.0).
+    windowed_big_frac: float = 0.25
 
 
 @dataclass(frozen=True)

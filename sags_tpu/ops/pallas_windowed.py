@@ -155,6 +155,229 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, table_ref, gb_ref,
         t_out[0] = t_s[...][:, 0:1]
 
 
+def _bwd_kernel(counts_ref, bases_ref, dests_ref, nblks_ref, table_ref,
+                gb_ref, dacc_ref, dt_ref, tn_ref, dgt_out, cand, gsel,
+                t_entry_s, carry_s, dg_s, sems, *, tile, tiles_x, alpha_min,
+                t_min, chunk, n_span, w_blocks):
+    """Windowed fused backward: span DMA + in-VMEM depth-order select, then
+    the exact reverse-sweep gradient of `pallas_composite._bwd_kernel` on the
+    selected columns. One grid step per tile; emits per-pair gradients in
+    table order (scatter-add to rows happens outside, deterministic)."""
+    t = pl.program_id(0)
+    CH = gb_ref.shape[1]
+    K_TILE = gsel.shape[1]
+    K = chunk
+    NC = K_TILE // K
+    PIX = tile * tile
+    CF = dacc_ref.shape[2]
+
+    # ---- span DMAs into the candidate window (same plan as forward) ----
+    for j in range(n_span):
+        base = bases_ref[t * n_span + j]
+        dest = dests_ref[t * n_span + j]
+        nblk = nblks_ref[t * n_span + j]
+        for b in range(w_blocks):
+            @pl.when(b < nblk)
+            def _():
+                pltpu.make_async_copy(
+                    gb_ref.at[pl.ds(base + b, 1)],
+                    cand.at[pl.ds(dest + b, 1)],
+                    sems.at[j],
+                ).start()
+    for j in range(n_span):
+        base = bases_ref[t * n_span + j]
+        dest = dests_ref[t * n_span + j]
+        nblk = nblks_ref[t * n_span + j]
+        for b in range(w_blocks):
+            @pl.when(b < nblk)
+            def _():
+                pltpu.make_async_copy(
+                    gb_ref.at[pl.ds(base + b, 1)],
+                    cand.at[pl.ds(dest + b, 1)],
+                    sems.at[j],
+                ).wait()
+
+    # ---- depth-order select into gsel [CH, K_TILE] ----
+    for kb in range(K_TILE // 128):
+        idxb = table_ref[0, kb]  # [128] window-local ids (-1 = empty)
+        hi = idxb // 128
+        lo = jnp.where(idxb >= 0, idxb % 128, 0)
+        idxmod = jnp.broadcast_to(lo[None, :], (CH, 128))
+        sel = jnp.zeros((CH, 128), jnp.float32)
+        for b in range(w_blocks):
+            g_b = jnp.take_along_axis(cand[b], idxmod, axis=1)
+            sel = jnp.where((hi == b)[None, :], g_b, sel)
+        gsel[:, pl.ds(kb * 128, 128)] = sel
+
+    g_all = gsel[...]
+    dacc = dacc_ref[0]  # [PIX, CF]
+    dT_px = dt_ref[0]
+    T_N = tn_ref[0]
+
+    base_x = ((t % tiles_x) * tile).astype(jnp.float32)
+    base_y = ((t // tiles_x) * tile).astype(jnp.float32)
+    pix_row = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 0)
+    px = base_x + (pix_row % tile).astype(jnp.float32)
+    py = base_y + (pix_row // tile).astype(jnp.float32)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 1)
+
+    def _prefix_hs(x, exclusive=True):
+        inc = x
+        shift = 1
+        while shift < K:
+            inc = inc + jnp.where(k_iota >= shift, pltpu.roll(inc, shift, 1), 0.0)
+            shift *= 2
+        return inc - x if exclusive else inc
+
+    def chunk_quants(c, T_entry):
+        g = g_all[:, c * K:(c + 1) * K]
+        dx = g[0:1, :] - px
+        dy = g[1:2, :] - py
+        power = -0.5 * (g[2:3, :] * dx * dx + g[4:5, :] * dy * dy) - g[3:4, :] * dx * dy
+        raw = g[5:6, :] * jnp.exp(power)
+        alpha = jnp.minimum(0.99, raw)
+        in_count = (c * K + k_iota) < counts_ref[t]
+        gate = (power <= 0.0) & (alpha >= alpha_min) & in_count
+        a = jnp.where(gate, alpha, 0.0)
+        om = 1.0 - a
+        log_om = jnp.log1p(-a)
+        cum = _prefix_hs(log_om, exclusive=True)
+        T_exc = T_entry * jnp.exp(cum)
+        m = gate & (T_exc * om >= t_min)
+        clipped = raw >= 0.99
+        return g, dx, dy, a, gate, om, log_om, T_exc, m, clipped
+
+    T = jnp.ones((PIX, 1), jnp.float32)
+    for c in range(NC):
+        t_entry_s[:, c:c + 1] = T
+        _, _, _, a, gate, om, log_om, T_exc, m, _ = chunk_quants(c, T)
+        T = T * jnp.exp(jnp.sum(jnp.where(m, log_om, 0.0), axis=1, keepdims=True))
+
+    carry_s[...] = T_N * dT_px
+    for c in reversed(range(NC)):
+        T_entry = t_entry_s[:, c:c + 1]
+        g, dx, dy, a, gate, om, log_om, T_exc, m, clipped = chunk_quants(c, T_entry)
+        feats = g_all[HDR:, c * K:(c + 1) * K]  # [CF, K]
+
+        s = jax.lax.dot_general(
+            dacc, feats, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        w = jnp.where(m, a * T_exc, 0.0)
+        ws = w * s
+        incl = _prefix_hs(ws, exclusive=False)
+        tot = incl[:, K - 1:K]
+        B = tot - incl
+        inv_om = 1.0 / om
+        da = (
+            jnp.where(m, T_exc * s, 0.0)
+            - jnp.where(gate, inv_om, 0.0) * B
+            - jnp.where(m, inv_om, 0.0) * carry_s[...]
+        )
+
+        live = gate & ~clipped
+        dpow = jnp.where(live, da * a, 0.0)
+        opac_row = g[5:6, :]
+        dop_px = jnp.where(live, da * a / jnp.maximum(opac_row, 1e-12), 0.0)
+
+        dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=0)
+        dcb = jnp.sum(dpow * (-dx * dy), axis=0)
+        dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=0)
+        dmx = jnp.sum(dpow * (-(g[2:3, :] * dx + g[3:4, :] * dy)), axis=0)
+        dmy = jnp.sum(dpow * (-(g[4:5, :] * dy + g[3:4, :] * dx)), axis=0)
+        dop = jnp.sum(dop_px, axis=0)
+
+        dfeats = jax.lax.dot_general(
+            dacc, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        hdr_grads = jnp.concatenate(
+            [
+                dmx.reshape(1, K), dmy.reshape(1, K), dca.reshape(1, K),
+                dcb.reshape(1, K), dcc.reshape(1, K), dop.reshape(1, K),
+                jnp.zeros((HDR - 6, K), jnp.float32),
+            ],
+            axis=0,
+        )
+        dg_s[:, c * K:(c + 1) * K] = jnp.concatenate([hdr_grads, dfeats], axis=0)
+        carry_s[...] += tot
+
+    dgt_out[0] = dg_s[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile", "tiles_x", "alpha_min", "t_min", "chunk",
+                     "n_span", "w_blocks"),
+)
+def composite_windowed_bwd(
+    gb: jax.Array,      # [NB_total, CH, 128] anchor-sorted blocked row store
+    table: jax.Array,   # [NT, K_TILE//128, 128] window-local depth-order ids
+    counts: jax.Array,  # [NT]
+    bases: jax.Array,
+    dests: jax.Array,
+    nblks: jax.Array,
+    d_accum: jax.Array,  # [NT, PIX, CF] cotangent (CF = CH - HDR)
+    d_T: jax.Array,      # [NT, PIX]
+    T_final: jax.Array,  # [NT, PIX]
+    tile: int,
+    tiles_x: int,
+    alpha_min: float = 1.0 / 255.0,
+    t_min: float = 1e-4,
+    chunk: int = 256,
+    n_span: int = 4,
+    w_blocks: int = 12,
+) -> jax.Array:
+    """Returns per-pair gradients dGt [NT, CH, K_TILE] in table order."""
+    NT = table.shape[0]
+    K_TILE = table.shape[1] * 128
+    CH = gb.shape[1]
+    K = min(chunk, K_TILE)
+    NC = K_TILE // K
+    PIX = tile * tile
+    CF = d_accum.shape[-1]
+
+    kern = functools.partial(
+        _bwd_kernel, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min,
+        t_min=t_min, chunk=K, n_span=n_span, w_blocks=w_blocks,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(NT,),
+        in_specs=[
+            pl.BlockSpec((1, K_TILE // 128, 128), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, PIX, CF), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, CH, K_TILE), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((w_blocks, CH, 128), jnp.float32),
+            pltpu.VMEM((CH, K_TILE), jnp.float32),   # selected columns
+            pltpu.VMEM((PIX, NC), jnp.float32),      # chunk-entry T
+            pltpu.VMEM((PIX, 1), jnp.float32),       # suffix carry
+            pltpu.VMEM((CH, K_TILE), jnp.float32),   # assembled dGt
+            pltpu.SemaphoreType.DMA((n_span,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NT, CH, K_TILE), jnp.float32),
+    )(counts.astype(jnp.int32), bases.astype(jnp.int32),
+      dests.astype(jnp.int32), nblks.astype(jnp.int32), table, gb,
+      d_accum, d_T[..., None], T_final[..., None])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_feat", "tile", "tiles_x", "alpha_min", "t_min",

@@ -91,6 +91,7 @@ class RenderOutput(NamedTuple):
     overflow_rect: jax.Array
     overflow_tile: jax.Array
     overflow_window: jax.Array = jnp.int32(0)  # windowed-path span overflow
+    overflow_big: jax.Array = jnp.int32(0)  # windowed big-tier buffer overflow
 
 
 # ---------------------------------------------------------------------------
@@ -645,13 +646,14 @@ def _prepare_windowed(
     keys = tier_keys(offs_a, rminx, rminy, rectw, recth, dq_s, valid_s)
     gids = [iota] * len(offs_a)
 
+    overflow_big = jnp.int32(0)
     if R > 2:
-        PB = max(P // 8, 128)
+        PB = max(int(P * cfg.windowed_big_frac) // 128 * 128, 128)
         is_big = valid_s & ((rectw > 2) | (recth > 2))
         rank_big = jnp.cumsum(is_big.astype(jnp.int32)) - 1
         n_big = jnp.sum(is_big)
         covered = jnp.minimum(rectw, R) * jnp.minimum(recth, R)
-        overflow_rect = overflow_rect + jnp.sum(
+        overflow_big = jnp.sum(
             jnp.where(is_big & (rank_big >= PB), covered - 4, 0)
         )
         _, big_idx = jax.lax.sort(
@@ -736,16 +738,22 @@ def _prepare_windowed(
     table_local = local.reshape(NT, K // 128, 128)
 
     return (G_s, table, table_local, counts, bases, dests, nblks, n_binned,
-            overflow_rect, overflow_tile, overflow_window)
+            overflow_rect, overflow_tile, overflow_window, overflow_big)
 
 
 def _composite_windowed_with_xla_vjp(
     G_s, table_rows, table_local, counts, bases, dests, nblks,
     n_feat, tiles_x, tiles_y, cfg
 ):
-    """Fused windowed forward; backward recomputes through the XLA compositor
-    on the same anchor-sorted rows/table (exact, deterministic)."""
-    from sags_tpu.ops.pallas_windowed import composite_windowed
+    """Fused windowed forward. Backward: the windowed fused Pallas kernel
+    (per-pair gradients from the same span DMAs + in-VMEM select, then one
+    deterministic scatter-add by sorted-row id) when `pallas_backward`;
+    otherwise exact recompute through the XLA compositor."""
+    import numpy as _np
+
+    from sags_tpu.ops.pallas_windowed import (
+        composite_windowed, composite_windowed_bwd,
+    )
 
     R = int(round(cfg.max_tiles_per_gaussian ** 0.5))
     NB = cfg.window_blocks
@@ -755,41 +763,69 @@ def _composite_windowed_with_xla_vjp(
     CF_in = 24  # feature rows 8..31 (incl. the zero pad row)
     P = G_s.shape[0]
     P_pad = -(-(P + NB * 128) // 128) * 128
+    CH = 32  # kernel rows: geometry + features; extras stay host-side
 
-    def primal(G_s):
-        CH = 32  # kernel rows: geometry + features; extras stay host-side
+    def _blocked(G_s):
         G_pad = jnp.concatenate(
             [G_s[:, :CH], jnp.zeros((P_pad - P, CH), G_s.dtype)], axis=0
         )
-        gb = G_pad.T.reshape(CH, P_pad // 128, 128).transpose(1, 0, 2)
+        return G_pad.T.reshape(CH, P_pad // 128, 128).transpose(1, 0, 2)
+
+    def primal(G_s, table_rows, table_local, counts, bases, dests, nblks):
         acc, T = composite_windowed(
-            gb, table_local, counts, bases, dests, nblks, CF_in, cfg.tile,
-            tiles_x, alpha_min=cfg.alpha_min, t_min=cfg.transmittance_min,
-            chunk=K_chunk, n_span=R, w_blocks=NB,
+            _blocked(G_s), table_local, counts, bases, dests, nblks, CF_in,
+            cfg.tile, tiles_x, alpha_min=cfg.alpha_min,
+            t_min=cfg.transmittance_min, chunk=K_chunk, n_span=R, w_blocks=NB,
         )
         return acc[..., :n_feat], T
 
     f = jax.custom_vjp(primal)
 
-    def fwd(G_s):
-        return primal(G_s), (G_s,)
+    def fwd(G_s, table_rows, table_local, counts, bases, dests, nblks):
+        out = primal(G_s, table_rows, table_local, counts, bases, dests, nblks)
+        return out, (G_s, table_rows, table_local, counts, bases, dests,
+                     nblks, out[1])
 
     def bwd(res, cots):
-        (G_s,) = res
-        _, vjp = jax.vjp(
-            lambda g: _composite_core_xla(
-                g, table_rows, counts, n_feat, tiles_x, tiles_y, cfg, None
-            ),
-            G_s[:, :32],
-        )
-        (dG32,) = vjp(cots)
+        (G_s, table_rows, table_local, counts, bases, dests, nblks,
+         T_final) = res
+        d_acc, d_T = cots
+        ints = (table_rows, table_local, counts, bases, dests, nblks)
+        zeros_int = tuple(_np.zeros(x.shape, jax.dtypes.float0) for x in ints)
+        if not cfg.pallas_backward:
+            _, vjp = jax.vjp(
+                lambda g: _composite_core_xla(
+                    g, table_rows, counts, n_feat, tiles_x, tiles_y, cfg, None
+                ),
+                G_s[:, :CH],
+            )
+            (dG32,) = vjp((d_acc, d_T))
+        else:
+            d_acc_full = jnp.concatenate(
+                [d_acc,
+                 jnp.zeros(d_acc.shape[:-1] + (CF_in - n_feat,), d_acc.dtype)],
+                axis=-1,
+            )
+            dGt = composite_windowed_bwd(
+                _blocked(G_s), table_local, counts, bases, dests, nblks,
+                d_acc_full, d_T, T_final, cfg.tile, tiles_x,
+                alpha_min=cfg.alpha_min, t_min=cfg.transmittance_min,
+                chunk=K_chunk, n_span=R, w_blocks=NB,
+            )  # [NT, CH, K_TILE] per-pair grads in table order
+            dG_rows = dGt.transpose(0, 2, 1).reshape(-1, CH)
+            safe = jnp.maximum(table_rows, 0).reshape(-1)
+            dG32 = (
+                jnp.zeros((P, CH), dG_rows.dtype).at[safe].add(
+                    jnp.where((table_rows >= 0).reshape(-1, 1), dG_rows, 0.0)
+                )
+            )
         dG = jnp.concatenate(
-            [dG32, jnp.zeros((P, G_s.shape[1] - 32), dG32.dtype)], axis=-1
+            [dG32, jnp.zeros((P, G_s.shape[1] - CH), dG32.dtype)], axis=-1
         )
-        return (dG,)
+        return (dG,) + zeros_int
 
     f.defvjp(fwd, bwd)
-    return f(G_s)
+    return f(G_s, table_rows, table_local, counts, bases, dests, nblks)
 
 
 def _composite_core_xla(
@@ -952,15 +988,16 @@ def rasterize(
         (cfg.windowed if windowed is None else windowed)
         and jax.default_backend() == "tpu"
         and mesh is None
-        and fused is not False  # training goes through the XLA scan path
+        and fused is not False  # fused=False forces the XLA scan (CPU/debug)
         and cfg.tile_capacity % 128 == 0
         and R * R == cfg.max_tiles_per_gaussian
         and cfg.tile * cfg.tile >= 8
     )
     ov_win = jnp.int32(0)
+    ov_big = jnp.int32(0)
     if use_windowed:
         (G_s, table, table_local, counts, bases, dests, nblks, n_binned,
-         ov_rect, ov_tile, ov_win) = _prepare_windowed(
+         ov_rect, ov_tile, ov_win, ov_big) = _prepare_windowed(
             pre, obj_features, tiles_x, tiles_y, cfg
         )
         accum, T_final = _composite_windowed_with_xla_vjp(
@@ -1007,6 +1044,7 @@ def rasterize(
         overflow_rect=ov_rect,
         overflow_tile=ov_tile,
         overflow_window=ov_win,
+        overflow_big=ov_big,
     )
 
 

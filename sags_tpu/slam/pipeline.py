@@ -193,6 +193,7 @@ class SLAMPipeline:
             "tile": int(metrics.overflow_tile) > thresh,
             "rect": int(getattr(metrics, "overflow_rect", 0)) > thresh,
             "window": int(getattr(metrics, "overflow_window", 0)) > thresh,
+            "big": int(getattr(metrics, "overflow_big", 0)) > thresh,
         }
         if any(over.values()):
             self._overflow_strikes += 1
@@ -209,6 +210,8 @@ class SLAMPipeline:
             kw["max_tiles_per_gaussian"] = R * R
         if over["window"]:
             kw["window_blocks"] = r.window_blocks + 2
+        if over["big"]:
+            kw["windowed_big_frac"] = min(r.windowed_big_frac * 2, 1.0)
         self.cfg = self.cfg.replace(raster=dataclasses.replace(r, **kw))
         self.step_fn = slam_step_mod.make_slam_step(
             self.cfg, donate=False, mesh=self.mesh

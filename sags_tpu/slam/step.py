@@ -50,6 +50,7 @@ class StepMetrics(NamedTuple):
     overflow_tile: jax.Array
     overflow_rect: jax.Array
     overflow_window: jax.Array
+    overflow_big: jax.Array
 
 
 def init_state(cfg: SLAMConfig, rng: jax.Array, capacity: Optional[int] = None) -> SLAMState:
@@ -118,9 +119,12 @@ def _loss_fn(
     m = gm.with_params(m, params)
     # With the fused Pallas backward, training runs fully fused; without it,
     # fused=False avoids paying Pallas fwd + XLA recompute in the vjp.
-    # The WINDOWED path is inference-only here: its custom_vjp backward
-    # recomputes through the XLA compositor (gather + scan), far slower than
-    # the fused Pallas backward of the classic path.
+    # The WINDOWED fwd+bwd kernels exist and match (test_pallas_tpu), but at
+    # SLAM training density (640x512 / 100+ anchors per tile) the in-VMEM
+    # depth-order select costs more than the G[table] row gather it replaces
+    # (measured 45.5 vs 42.7 ms/step) and the shared span window overflows —
+    # so training keeps the classic fused path; windowed wins for RENDER
+    # (3600 tiles at 720p, ~70 anchors/tile: 47 -> 25 ms).
     fused = None if cfg.raster.pallas_backward else False
     out = render_map(m, camera, cfg, mesh=mesh, fused=fused, windowed=False)
 
@@ -217,6 +221,7 @@ def slam_step(
         overflow_tile=out.overflow_tile,
         overflow_rect=out.overflow_rect,
         overflow_window=out.overflow_window,
+        overflow_big=out.overflow_big,
     )
     return new_state, metrics
 

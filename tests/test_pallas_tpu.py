@@ -96,3 +96,55 @@ def test_fused_forward_tile8_matches_xla():
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(out_p.final_T), np.asarray(out_x.final_T),
                                atol=1e-3)
+
+
+def _windowed_scene(n=8192, W=256, H=192):
+    """Density at which the default-ish window budgets hold with zero
+    overflow (the windowed path is only numerically identical to the classic
+    one when nothing is dropped — overflow is surfaced + pipeline-adapted)."""
+    rng = np.random.default_rng(0)
+    z = rng.uniform(2.0, 10.0, (n, 1))
+    xy = rng.uniform(-0.5, 0.5, (n, 2)) * z * np.array([1.3, 1.0])
+    means = np.concatenate([xy, z], 1).astype(np.float32)
+    scales = (rng.uniform(0.005, 0.02, (n, 3)) * z).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, -1, keepdims=True)
+    opac = rng.uniform(0.3, 0.9, (n,)).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    objs = rng.normal(size=(n, 16)).astype(np.float32)
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                      W, H, 1.2, 0.9)
+    tgt = rng.uniform(0, 1, (3, H, W)).astype(np.float32)
+    A = tuple(jnp.asarray(v) for v in (means, opac, scales, quats, colors, objs))
+    return A, cam, jnp.asarray(tgt)
+
+
+def test_windowed_backward_matches_xla():
+    """The windowed fused backward (span DMA + in-VMEM select,
+    `pallas_windowed.composite_windowed_bwd`) must match gradients computed
+    through the XLA scan on the same scene, given zero overflow."""
+    A, cam, tgt = _windowed_scene()
+    cfg = dataclasses.replace(CFG, window_blocks=24, windowed_big_frac=1.0)
+
+    fwd = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    assert int(fwd.overflow_window) == 0 and int(fwd.overflow_big) == 0
+
+    def make_loss(windowed, fused):
+        def loss(m, o, s, q, c, ob):
+            r = rz.rasterize(m, o, s, q, cam, cfg, colors=c, obj_features=ob,
+                             windowed=windowed, fused=fused)
+            return (jnp.sum((r.color - tgt) ** 2) + 1e-3 * jnp.sum(r.depth ** 2)
+                    + 1e-2 * jnp.sum(r.objects ** 2) + jnp.sum(r.final_T ** 2))
+        return loss
+
+    gw = jax.jit(jax.grad(make_loss(True, None), argnums=tuple(range(6))))(*A)
+    gx = jax.jit(jax.grad(make_loss(False, False), argnums=tuple(range(6))))(*A)
+    for name, a, b in zip(["means", "opac", "scales", "quats", "colors", "objs"],
+                          gw, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+        assert rel < 2e-3, (name, rel)
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.9999, (name, cos)

@@ -283,9 +283,11 @@ def test_pipeline_overflow_adaptation_grows_knobs():
     m = StepMetrics(loss=z, loss_rgb=z, loss_obj=z, loss_obj_3d=z,
                     n_active=jnp.int32(1), n_binned=jnp.int32(1000),
                     overflow_tile=jnp.int32(50), overflow_rect=jnp.int32(50),
-                    overflow_window=jnp.int32(50))
+                    overflow_window=jnp.int32(50), overflow_big=jnp.int32(50))
     for _ in range(3):
         pipe._maybe_grow_capacity(m)
     assert pipe.cfg.raster.tile_capacity == 256
     assert pipe.cfg.raster.max_tiles_per_gaussian == 9
     assert pipe.cfg.raster.window_blocks == cfg.raster.window_blocks + 2
+    assert pipe.cfg.raster.windowed_big_frac == min(
+        cfg.raster.windowed_big_frac * 2, 1.0)
