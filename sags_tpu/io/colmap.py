@@ -120,15 +120,22 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
 
 
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
+    """Two-line-per-image parser, robust to both blank-line shapes: a
+    featureless image's EMPTY points2D line still occupies its slot (the line
+    immediately after a meta line is always the points line, blank or not),
+    while blank lines BETWEEN records (hand-edited separator style) are
+    skipped when a meta line is expected."""
     out = {}
     with open(path) as f:
-        # keep EMPTY lines: the points2D line of a featureless image is blank
-        # and still occupies its slot in the alternating meta/points structure
         lines = [l for l in f if not l.startswith("#")]
-    for meta in lines[0::2]:
-        if not meta.strip():
+    expect_points = False
+    for line in lines:
+        if expect_points:
+            expect_points = False  # points2D line — blank is valid
             continue
-        parts = meta.split()
+        if not line.strip():
+            continue  # separator blank while expecting meta
+        parts = line.split()
         iid = int(parts[0])
         out[iid] = ColmapImage(
             iid,
@@ -137,6 +144,7 @@ def read_images_text(path: str) -> Dict[int, ColmapImage]:
             int(parts[8]),
             parts[9],
         )
+        expect_points = True
     return out
 
 

@@ -70,20 +70,36 @@ class FrameQueue:
     def __init__(self, frames: Iterable[Frame], point_budget: int,
                  prefetch: int = 2, device=None,
                  timeout_s: Optional[float] = None):
+        import time
+
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._point_budget = point_budget
         self._device = device
         self._timeout_s = timeout_s
         self.timed_out = False
         self._err: Optional[BaseException] = None
+        self._waiting_source = True
+        self._last_rx = time.monotonic()
         self._thread = threading.Thread(
             target=self._produce, args=(iter(frames),), daemon=True
         )
         self._thread.start()
 
     def _produce(self, it: Iterator[Frame]):
+        import time
+
         try:
-            for f in it:
+            while True:
+                # silence is measured at the SOURCE (the reference's
+                # topic-silence clock, `:652-666`) — staging or a slow
+                # consumer must not count toward it
+                self._waiting_source = True
+                try:
+                    f = next(it)
+                except StopIteration:
+                    break
+                self._waiting_source = False
+                self._last_rx = time.monotonic()
                 self._q.put((stage_frame(f, self._point_budget, self._device), f))
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
@@ -91,16 +107,22 @@ class FrameQueue:
             self._q.put(self._DONE)
 
     def __iter__(self):
+        import time
+
         first = True
         while True:
             try:
-                # Reference semantics: the silence clock only starts once the
-                # first topic has been received (`:657`).
-                timeout = None if first else self._timeout_s
-                item = self._q.get(timeout=timeout)
+                poll = 0.25 if (self._timeout_s is not None and not first) else None
+                item = self._q.get(timeout=poll)
             except queue.Empty:
-                self.timed_out = True
-                return
+                # Reference semantics: the silence clock starts after the
+                # first topic (`:657`) and fires only when the producer has
+                # been blocked waiting on the source for > timeout_s.
+                if (self._waiting_source
+                        and time.monotonic() - self._last_rx > self._timeout_s):
+                    self.timed_out = True
+                    return
+                continue
             if item is self._DONE:
                 if self._err is not None:
                     raise self._err

@@ -263,10 +263,22 @@ def surfel_map_init(
     capacity: int = 8192,
     world_extent: float = 128.0,
 ) -> SurfelMap:
-    """Fixed world grid centered at the origin (±world_extent/2 per axis)."""
+    """Fixed world grid centered at the origin (±world_extent/2 per axis).
+
+    Raises if the flattened key space exceeds int32 (the encode would wrap
+    negative, silently aliasing voxels): shrink `world_extent` or coarsen
+    `resolution` — or re-center the trajectory before tracking.
+    """
     half = int(world_extent / (2 * resolution)) + 2
+    dim = 2 * half + 1
+    if dim ** 3 >= 2 ** 31:
+        max_dim = int((2.0 ** 31) ** (1.0 / 3.0))  # ≈1290 cells per axis
+        raise ValueError(
+            f"surfel grid {dim}^3 overflows the int32 key space "
+            f"(max ~{max_dim} cells per axis)"
+        )
     mins = jnp.full((3,), -half, jnp.int32)
-    dims = jnp.full((3,), 2 * half + 1, jnp.int32)
+    dims = jnp.full((3,), dim, jnp.int32)
     return SurfelMap(
         keys=jnp.full((capacity,), _SURFEL_KEY_MAX, jnp.int32),
         n=jnp.zeros((capacity,), jnp.float32),
@@ -297,6 +309,9 @@ def surfel_map_update(sm: SurfelMap, points: jax.Array, mask: jax.Array) -> Surf
     coords = _voxel_coords(points, sm.resolution)
     keys_new = jnp.where(mask, _surfel_encode(sm, coords), _SURFEL_KEY_MAX)
     valid = keys_new < _SURFEL_KEY_MAX
+    # out-of-extent points are dropped — count them (like every other
+    # capacity bound, drops must be surfaced, not silent)
+    dropped = jnp.sum(mask & ~valid)
 
     keys_all = jnp.concatenate([sm.keys, keys_new])
     n_all = jnp.concatenate([sm.n, valid.astype(jnp.float32)])
@@ -315,7 +330,7 @@ def surfel_map_update(sm: SurfelMap, points: jax.Array, mask: jax.Array) -> Surf
     live = ks < _SURFEL_KEY_MAX
     slot = jnp.where(live & (vid < V), vid, V)
     n_unique = jnp.maximum(vid[-1] + 1, 0)
-    overflow = sm.overflow + jnp.maximum(n_unique - V, 0)
+    overflow = sm.overflow + jnp.maximum(n_unique - V, 0) + dropped
 
     key_buf = jnp.full((V + 1,), _SURFEL_KEY_MAX, jnp.int32)
     key_buf = key_buf.at[slot].set(

@@ -793,9 +793,17 @@ def _composite_windowed_with_xla_vjp(
         ints = (table_rows, table_local, counts, bases, dests, nblks)
         zeros_int = tuple(_np.zeros(x.shape, jax.dtypes.float0) for x in ints)
         if not cfg.pallas_backward:
+            # Recompute ONLY over pairs the windowed forward actually
+            # composited: entries the span window dropped (table_local == -1)
+            # must not contribute gradient, or d(loss) is pulled back through
+            # a different render than the one that produced the primal.
+            NT, K = table_rows.shape
+            table_eff = jnp.where(
+                table_local.reshape(NT, K) >= 0, table_rows, -1
+            )
             _, vjp = jax.vjp(
                 lambda g: _composite_core_xla(
-                    g, table_rows, counts, n_feat, tiles_x, tiles_y, cfg, None
+                    g, table_eff, counts, n_feat, tiles_x, tiles_y, cfg, None
                 ),
                 G_s[:, :CH],
             )
@@ -992,6 +1000,11 @@ def rasterize(
         and cfg.tile_capacity % 128 == 0
         and R * R == cfg.max_tiles_per_gaussian
         and cfg.tile * cfg.tile >= 8
+        # The windowed packed-row layout is built for the SLAM feature set:
+        # 16 obj channels → 32-row base + extras at rows 32..39 (COL_* in
+        # pallas_windowed) and CH=32 kernel rows. Any other width falls back
+        # to the classic path, which is width-generic.
+        and O == 16
     )
     ov_win = jnp.int32(0)
     ov_big = jnp.int32(0)

@@ -48,6 +48,7 @@ class PipelineResult:
     train_iters: int
     losses: List[float]
     state: slam_step_mod.SLAMState
+    timed_out: bool = False  # stream ended by cfg.timeout_s silence
 
 
 class SLAMPipeline:
@@ -85,8 +86,8 @@ class SLAMPipeline:
         fovy = focal2fov(cam_cfg.fy * H / cam_cfg.height, H)
         R = pose[:3, :3]
         if self.cfg.lidar_axes:
-            # FAST-LIVO2 odometry reports the LiDAR body frame; the camera
-            # frame is R · Rz(90°) · Rx(−90°) (`gaussian_splatting.py:309-315`).
+            # FAST-LIVO2 odometry reports the LiDAR body frame; apply the
+            # reference's exact axis fix (see _LIDAR_TO_CAM below).
             R = R @ _LIDAR_TO_CAM
         return make_camera(R, pose[:3, 3], W, H, fovx, fovy)
 
@@ -301,6 +302,7 @@ class SLAMPipeline:
             train_iters=self.train_iter,
             losses=self.losses,
             state=self.state,
+            timed_out=q.timed_out,
         )
 
     def evaluate(self, frames: Iterable[Frame], every: int = 1):
@@ -313,6 +315,9 @@ class SLAMPipeline:
                 continue
             cam = self._camera_for(frame, np.asarray(frame.pose))
             out = slam_step_mod.render_map(self.state.map, cam, self.cfg)
+            # inference renders are where the WINDOWED path runs — feed its
+            # overflow counters into the same adaptation as training metrics
+            self._maybe_grow_capacity(out)
             scores.append(
                 {
                     "psnr": psnr(np.asarray(out.color), frame.image),
@@ -322,7 +327,11 @@ class SLAMPipeline:
         return scores
 
 
-# LiDAR body → camera axes: Rz(90°) · Rx(−90°) (`gaussian_splatting.py:309-315`)
+# LiDAR body → camera axes (`gaussian_splatting.py:309-315`): the literal
+# matrices the reference composes as `Rz_90 @ Rx_minus_90` (by the usual
+# sign convention they are Rz(−90°)·Rx(−90°); we keep the reference's exact
+# numbers, which map lidar-forward x → camera-forward z, lidar-left y →
+# camera −x, lidar-up z → camera −y, i.e. FLU → RDF).
 _LIDAR_TO_CAM = np.array(
     [[0, 1, 0], [-1, 0, 0], [0, 0, 1]], dtype=np.float32
 ) @ np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], dtype=np.float32)

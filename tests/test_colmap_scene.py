@@ -123,3 +123,25 @@ def test_train_offline_scene(colmap_fixture):
     state, losses = train_offline_scene(scene, cfg, iterations=20)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_images_text_blank_separator_shape(tmp_path):
+    """Blank lines BETWEEN records (separator style) must not shift parity;
+    empty points2D lines (featureless images) must still hold their slot."""
+    from sags_tpu.io.colmap import read_images_text
+
+    p = tmp_path / "images.txt"
+    p.write_text(
+        "# comment\n"
+        "1 1 0 0 0 0.5 0.5 0.5 1 a.png\n"
+        "10 10 5\n"
+        "\n"
+        "2 1 0 0 0 0.1 0.2 0.3 1 b.png\n"
+        "\n"          # featureless image: empty points2D line
+        "\n"          # separator
+        "3 1 0 0 0 0.0 0.0 0.0 1 c.png\n"
+        "1 2 7\n"
+    )
+    imgs = read_images_text(str(p))
+    assert sorted(imgs) == [1, 2, 3]
+    assert imgs[2].name == "b.png"

@@ -181,3 +181,18 @@ def test_imu_esikf_beats_constant_position():
     err_cp = run(False)
     assert err_imu < err_cp, (err_imu, err_cp)
     assert err_imu < 0.1, err_imu
+
+
+def test_surfel_map_counts_out_of_extent_drops():
+    """Points beyond the fixed world grid must be surfaced in `overflow`,
+    not silently discarded."""
+    sm = esikf.surfel_map_init(resolution=0.5, capacity=256, world_extent=8.0)
+    pts = np.array([[0.0, 0.0, 0.0], [100.0, 0.0, 0.0], [0.0, -50.0, 0.0]],
+                   np.float32)
+    sm = esikf.surfel_map_update(sm, jnp.asarray(pts), jnp.ones(3, bool))
+    assert int(sm.overflow) == 2
+
+
+def test_surfel_map_init_rejects_key_overflow():
+    with np.testing.assert_raises(ValueError):
+        esikf.surfel_map_init(resolution=0.05, world_extent=256.0)

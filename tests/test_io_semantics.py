@@ -191,3 +191,39 @@ def test_traj_ate():
     assert abs(ate_na - 0.02) < 1e-6
     t_rpe, r_rpe = rpe(est, gt)
     assert t_rpe < 1e-6 and r_rpe < 1e-6
+
+
+def test_frame_queue_slow_consumer_no_false_timeout():
+    """timeout_s measures SOURCE silence: a consumer slower than timeout_s
+    (or slow staging) must not truncate replay of a ready list."""
+    import time
+
+    from sags_tpu.io.datasets import SyntheticDataset
+    from sags_tpu.io.queue import FrameQueue
+
+    ds = list(SyntheticDataset(n_frames=3, width=32, height=24))
+    q = FrameQueue(ds, point_budget=64, prefetch=1, timeout_s=0.3)
+    n = 0
+    for df, f in q:
+        time.sleep(0.5)  # consumer slower than timeout_s
+        n += 1
+    assert n == 3 and not q.timed_out
+
+
+def test_frame_queue_source_silence_times_out():
+    import time
+
+    from sags_tpu.io.datasets import SyntheticDataset
+    from sags_tpu.io.queue import FrameQueue
+
+    ds = list(SyntheticDataset(n_frames=2, width=32, height=24))
+
+    def gen():
+        yield ds[0]
+        yield ds[1]
+        time.sleep(5.0)  # silent source
+        yield ds[0]
+
+    q = FrameQueue(gen(), point_budget=64, prefetch=1, timeout_s=0.5)
+    n = sum(1 for _ in q)
+    assert n == 2 and q.timed_out
