@@ -77,7 +77,9 @@ class PointCovariances(NamedTuple):
     scales: jax.Array  # [N,3] sqrt singular values (descending)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "regularization"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "regularization", "cov_divisor")
+)
 def estimate_covariances(
     points: jax.Array,  # [N,3]
     mask: jax.Array,  # [N] bool
@@ -85,6 +87,7 @@ def estimate_covariances(
     knn_max_distance: float = 0.5,
     regularization: str = "normalized_ellipse",
     z_values: Optional[jax.Array] = None,  # [N] — withz variant scale division
+    cov_divisor: str = "k",  # "k" (reference parity) | "reliable" (unbiased)
 ) -> PointCovariances:
     """Batched per-point surfel covariance + (quat, scale) export.
 
@@ -111,7 +114,12 @@ def estimate_covariances(
     n_rel = jnp.maximum(jnp.sum(reliable, axis=-1), 1)
     mean = jnp.sum(jnp.where(reliable[..., None], nbr, 0.0), axis=1) / n_rel[:, None]
     d = jnp.where(reliable[..., None], nbr - mean[:, None], 0.0)
-    cov = jnp.einsum("nki,nkj->nij", d, d, precision=_HI) / float(k)
+    # The reference divides by k REGARDLESS of the reliable count
+    # (`fast_gicp_impl.hpp:418`) — documented above as a latent bug we keep
+    # for parity; `cov_divisor="reliable"` opts into the unbiased divisor.
+    denom = (float(k) if cov_divisor == "k"
+             else n_rel[:, None, None].astype(points.dtype))
+    cov = jnp.einsum("nki,nkj->nij", d, d, precision=_HI) / denom
 
     # Symmetric eigendecomposition (ascending) → singular values (descending).
     evals, evecs = jnp.linalg.eigh(cov)

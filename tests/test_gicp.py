@@ -247,3 +247,23 @@ def test_registration_api_tail(clouds):
     means, covs = vg.get_voxel_mean_cov()
     assert means.ndim == 2 and covs.shape[1:] == (3, 3)
     assert len(means) == len(covs) > 0
+
+
+def test_cov_divisor_opt_out():
+    """`cov_divisor="reliable"` divides by the reliable-neighbor count
+    instead of the reference's always-k (documented latent bug kept for
+    parity); with gated-out neighbors the unbiased covariances are larger."""
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    pts[:8] += 50.0  # a far clump: its neighbors mostly beyond the gate
+    m = jnp.ones(64, bool)
+    ck = gicp.estimate_covariances(jnp.asarray(pts), m, k=10,
+                                   knn_max_distance=0.5,
+                                   regularization="none").covs
+    cr = gicp.estimate_covariances(jnp.asarray(pts), m, k=10,
+                                   knn_max_distance=0.5,
+                                   regularization="none",
+                                   cov_divisor="reliable").covs
+    tk = np.trace(np.asarray(ck), axis1=-2, axis2=-1)
+    tr = np.trace(np.asarray(cr), axis1=-2, axis2=-1)
+    assert (tr >= tk - 1e-6).all() and (tr > tk + 1e-6).any()
