@@ -159,12 +159,18 @@ def main():
         out = rz.rasterize(means, opac, scales, quats, cam, cfg,
                            colors=colors, obj_features=objs)
         # checksum forces full-frame completion on value fetch
-        return out.color.sum(), out.n_binned, out.overflow_tile
+        return (out.color.sum(), out.n_binned, out.overflow_tile,
+                out.overflow_rect, out.overflow_window, out.overflow_big)
 
     # compile + warmup
     out = render(*args)
     float(out[0])
-    n_binned, overflow = int(out[1]), int(out[2])
+    n_binned = int(out[1])
+    # rect = the static MT=R*R window cap (identical semantics to the
+    # classic path and every round-1 number); tile/window/big are the
+    # windowed path's capacity counters (pipeline-adapted in SLAM runs).
+    overflow = (f"tile={int(out[2])},rect={int(out[3])},"
+                f"window={int(out[4])},big={int(out[5])}")
     rtt = measure_rtt()
 
     # vary inputs + VALUE-FETCH sync per frame, minus the tunnel RTT baseline

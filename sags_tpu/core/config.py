@@ -48,11 +48,13 @@ class RasterizeConfig:
     # pipeline-adapted.
     windowed: bool = True
     window_blocks: int = 16
-    # Fraction of P reserved for the LARGE-rect tier of the windowed pair
-    # expansion (rect > 2 tiles get the full RxR offsets from this compacted
-    # buffer; everyone gets the 2x2 tier). Saturation is surfaced as
-    # `overflow_big` and pipeline-adapted (doubled, capped at 1.0).
-    windowed_big_frac: float = 0.25
+    # Fractions of P reserved for the MID (rect == 3: the 5 extra 3×3-ring
+    # offsets) and BIG (rect > 3: all RxR−4 extra offsets) tiers of the
+    # windowed pair expansion; everyone gets the 2×2 tier. Saturation of
+    # either buffer is surfaced as `overflow_big` and pipeline-adapted
+    # (both doubled, capped at 1.0).
+    windowed_mid_frac: float = 0.25
+    windowed_big_frac: float = 0.125
 
 
 @dataclass(frozen=True)

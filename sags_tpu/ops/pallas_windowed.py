@@ -51,6 +51,7 @@ COL_RMIN_Y = 33
 COL_RECT_W = 34
 COL_RECT_H = 35
 COL_DQ = 36
+COL_RCULL2 = 37  # exact alpha-cull radius² (rasterize.preprocess)
 WIDE_CH = 40
 
 
@@ -103,11 +104,18 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, table_ref, gb_ref,
         # Indices never point past the allocated blocks (host guarantees
         # local < used*128), so unconditionally scanning all w_blocks is
         # correct — unallocated blocks just never match `hi == b`.
+        # (measured: these register-accumulating unrolled passes beat both a
+        # dynamic-trip fori_loop and pl.when-predicated scratch RMW — scalar
+        # control flow around [CH,128] vector work costs more than the
+        # skipped gathers would save)
         for kb in range(K // 128):
             idxb = table_ref[0, c * (K // 128) + kb]  # [128] window-local ids
             hi = idxb // 128
             lo = jnp.where(idxb >= 0, idxb % 128, 0)
             idxmod = jnp.broadcast_to(lo[None, :], (CH, 128))
+            # NOTE: must stay a where-chain (not masked multiply-add): rows
+            # of never-DMA'd window blocks are uninitialized VMEM, and
+            # NaN·0 would poison a sum. Measured identical speed anyway.
             sel = jnp.zeros((CH, 128), jnp.float32)
             for b in range(w_blocks):
                 g_b = jnp.take_along_axis(cand[b], idxmod, axis=1)
@@ -197,7 +205,8 @@ def _bwd_kernel(counts_ref, bases_ref, dests_ref, nblks_ref, table_ref,
                     sems.at[j],
                 ).wait()
 
-    # ---- depth-order select into gsel [CH, K_TILE] ----
+    # ---- depth-order select into gsel [CH, K_TILE] (dynamic pass count —
+    # see the forward kernel) ----
     for kb in range(K_TILE // 128):
         idxb = table_ref[0, kb]  # [128] window-local ids (-1 = empty)
         hi = idxb // 128

@@ -212,6 +212,7 @@ class SLAMPipeline:
         if over["window"]:
             kw["window_blocks"] = r.window_blocks + 2
         if over["big"]:
+            kw["windowed_mid_frac"] = min(r.windowed_mid_frac * 2, 1.0)
             kw["windowed_big_frac"] = min(r.windowed_big_frac * 2, 1.0)
         self.cfg = self.cfg.replace(raster=dataclasses.replace(r, **kw))
         self.step_fn = slam_step_mod.make_slam_step(

@@ -124,7 +124,7 @@ def test_windowed_backward_matches_xla():
     `pallas_windowed.composite_windowed_bwd`) must match gradients computed
     through the XLA scan on the same scene, given zero overflow."""
     A, cam, tgt = _windowed_scene()
-    cfg = dataclasses.replace(CFG, window_blocks=24, windowed_big_frac=1.0)
+    cfg = dataclasses.replace(CFG, window_blocks=24, windowed_mid_frac=1.0, windowed_big_frac=1.0)
 
     fwd = jax.jit(lambda *a: rz.rasterize(
         a[0], a[1], a[2], a[3], cam, cfg, colors=a[4], obj_features=a[5],
