@@ -640,12 +640,12 @@ def _prepare_windowed(
     ).astype(jnp.int32)
 
     # --- pair expansion over the sorted rows (payload = sorted row id) ---
-    # Two tiers: a 2×2 window for EVERY Gaussian plus the remaining R×R−4
-    # offsets for the few LARGE ones (rect wider than 2 tiles), compacted to
-    # a P/8 buffer. Cuts the sort from MT·P to ~(4 + (MT−4)/8)·P slots — the
-    # average Gaussian touches 1-6 tiles, so uniform MT-way expansion wastes
-    # most of the sort. Large-buffer overflow is counted into overflow_rect
-    # (and pipeline-adapted like every other capacity).
+    # Three tiers: a 2×2 window for EVERY Gaussian, the 5 extra 3×3-ring
+    # offsets for MID ones (rect == 3) from a windowed_mid_frac·P buffer,
+    # and all R×R−4 extra offsets for BIG ones (rect > 3) from a
+    # windowed_big_frac·P buffer. The average Gaussian touches 1-6 tiles,
+    # so uniform MT-way expansion wastes most of the sort. Buffer
+    # saturation is counted into overflow_big and pipeline-adapted.
     ex = jax.lax.stop_gradient(G_s)
     rminx = ex[:, COL_RMIN_X].astype(jnp.int32)
     rminy = ex[:, COL_RMIN_Y].astype(jnp.int32)
@@ -685,12 +685,17 @@ def _prepare_windowed(
 
     def _tier(sel_mask, offs, PBUF, cover_cap):
         nonlocal overflow_big, keys, gids
+        PBUF = min(PBUF, P)  # a tiny scene must not out-size its buffer
         rank = jnp.cumsum(sel_mask.astype(jnp.int32)) - 1
         n_sel = jnp.sum(sel_mask)
         covered = (jnp.minimum(rectw, cover_cap)
                    * jnp.minimum(recth, cover_cap))
+        # pairs truly lost by a dropped Gaussian = its tier coverage minus
+        # what the 2×2 base tier already renders (NOT a flat 4: a thin 3×1
+        # rect loses 1, not −1)
+        base2 = jnp.minimum(rectw, 2) * jnp.minimum(recth, 2)
         overflow_big = overflow_big + jnp.sum(
-            jnp.where(sel_mask & (rank >= PBUF), covered - 4, 0)
+            jnp.where(sel_mask & (rank >= PBUF), covered - base2, 0)
         )
         _, idx = jax.lax.sort(
             (jnp.where(sel_mask, 0, 1).astype(jnp.int32), iota), num_keys=1

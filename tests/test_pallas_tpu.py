@@ -148,3 +148,13 @@ def test_windowed_backward_matches_xla():
         assert rel < 2e-3, (name, rel)
         cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
         assert cos > 0.9999, (name, cos)
+
+
+def test_windowed_tiny_scene_renders():
+    """Regression: with P < the tier buffer floor (128) the compacted tier
+    buffers must clamp to P instead of broadcasting mismatched shapes."""
+    A, cam, _ = scene(n=100)
+    out = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, CFG, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    assert np.isfinite(np.asarray(out.color)).all()
