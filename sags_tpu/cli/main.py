@@ -69,6 +69,11 @@ def cmd_run_slam(args):
         else:  # SAM with the shipped synthetic-trained weights when present
             mask_gen = MaskGenerator(num_classes=cfg.semantics.num_classes)
     pipe = SLAMPipeline(cfg, mask_generator=mask_gen, point_budget=args.point_budget)
+    if args.resume:
+        from sags_tpu.slam.checkpoint import load_state
+
+        pipe.state, _ = load_state(args.resume)
+        print(f"resumed state from {args.resume}", file=sys.stderr)
     t0 = time.perf_counter()
     res = pipe.run(frames)
     dt = time.perf_counter() - t0
@@ -90,6 +95,11 @@ def cmd_run_slam(args):
     if args.save:
         save_map_ply(args.save, compact(res.state.map))
         print(f"saved map to {args.save}", file=sys.stderr)
+    if args.checkpoint:
+        from sags_tpu.slam.checkpoint import save_state
+
+        save_state(args.checkpoint, res.state, pipe.cfg)
+        print(f"checkpointed state to {args.checkpoint}", file=sys.stderr)
 
 
 def cmd_train(args):
@@ -246,6 +256,10 @@ def main(argv=None):
     sp.add_argument("--point-budget", type=int, default=4096)
     sp.add_argument("--capacity", type=int, default=0)
     sp.add_argument("--save", default="")
+    sp.add_argument("--checkpoint", default="",
+                    help="save the full SLAM state (map + Adam + PRNG) here")
+    sp.add_argument("--resume", default="",
+                    help="restore a --checkpoint state before running")
     sp.set_defaults(fn=cmd_run_slam)
 
     sp = sub.add_parser("train")

@@ -56,3 +56,23 @@ def test_run_gicp_synthetic():
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["frames"] == 3
     assert np.isfinite(res["ate_rmse"])
+
+
+@pytest.mark.slow
+def test_run_slam_checkpoint_resume(tmp_path):
+    ckpt = tmp_path / "state.ckpt"
+    run_cli(
+        "run-slam", "--dataset", "synthetic", "--frames", "2",
+        "--width", "64", "--height", "48", "--post-train", "1",
+        "--point-budget", "256", "--capacity", "4096",
+        "--checkpoint", str(ckpt),
+    )
+    assert ckpt.exists()
+    out = run_cli(
+        "run-slam", "--dataset", "synthetic", "--frames", "2",
+        "--width", "64", "--height", "48", "--post-train", "1",
+        "--point-budget", "256", "--capacity", "4096",
+        "--resume", str(ckpt),
+    )
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["frames"] == 2
