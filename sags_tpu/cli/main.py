@@ -34,6 +34,12 @@ def _load_dataset(args):
         return list(D.TUMDataset(args.path))
     if args.dataset == "replica":
         return list(D.ReplicaDataset(args.path))
+    if args.dataset == "socket":
+        # live TCP ingestion (io/stream.py): a generator, not a list — the
+        # pipeline stages it frame-by-frame and applies timeout_s silence
+        from sags_tpu.io.stream import socket_frames
+
+        return socket_frames(args.port)
     raise SystemExit(f"unknown dataset {args.dataset}")
 
 
@@ -78,17 +84,22 @@ def cmd_run_slam(args):
     res = pipe.run(frames)
     dt = time.perf_counter() - t0
     ate, _ = ate_rmse(res.poses_est, res.poses_gt)
-    scores = pipe.evaluate(frames, every=max(1, len(frames) // 5))
-    psnr = float(np.mean([s["psnr"] for s in scores])) if scores else float("nan")
+    n_frames = len(frames) if isinstance(frames, list) else len(res.poses_est)
+    if isinstance(frames, list):
+        scores = pipe.evaluate(frames, every=max(1, n_frames // 5))
+        psnr = float(np.mean([s["psnr"] for s in scores])) if scores else float("nan")
+    else:  # live stream: frames are consumed; no replay to evaluate against
+        psnr = float("nan")
     print(
         json.dumps(
             {
-                "frames": len(frames),
+                "frames": n_frames,
                 "train_iters": res.train_iters,
-                "fps": len(frames) / dt,
+                "fps": n_frames / max(dt, 1e-9),
                 "ate_rmse": ate,
                 "mean_psnr": psnr,
                 "keyframes": res.n_keyframes,
+                "timed_out": res.timed_out,
             }
         )
     )
@@ -238,7 +249,7 @@ def main(argv=None):
 
     def add_dataset_args(sp):
         sp.add_argument("--dataset", default="synthetic",
-                        choices=["synthetic", "tum", "replica"])
+                        choices=["synthetic", "tum", "replica", "socket"])
         sp.add_argument("--path", default="")
         sp.add_argument("--frames", type=int, default=20)
         sp.add_argument("--width", type=int, default=160)
@@ -252,6 +263,8 @@ def main(argv=None):
     sp.add_argument("--semantics", action="store_true")
     sp.add_argument("--mask-backend", default="geometric",
                     choices=["geometric", "sam"])
+    sp.add_argument("--port", type=int, default=7011,
+                    help="TCP port for --dataset socket (io/stream.py)")
     sp.add_argument("--post-train", type=int, default=100)
     sp.add_argument("--point-budget", type=int, default=4096)
     sp.add_argument("--capacity", type=int, default=0)

@@ -76,3 +76,25 @@ def test_run_slam_checkpoint_resume(tmp_path):
     )
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["frames"] == 2
+
+
+@pytest.mark.slow
+def test_run_slam_socket_stream(tmp_path):
+    """run-slam --dataset socket consumes a live TCP publisher end-to-end."""
+    import threading
+
+    from sags_tpu.io.datasets import SyntheticDataset
+    from sags_tpu.io.stream import serve_frames
+
+    ds = list(SyntheticDataset(n_frames=2, width=48, height=36,
+                               pts_per_frame=256))
+    ready = threading.Event()
+    threading.Thread(target=serve_frames, args=(ds,),
+                     kwargs={"port": 0, "ready": ready}, daemon=True).start()
+    assert ready.wait(10.0)
+    out = run_cli(
+        "run-slam", "--dataset", "socket", "--port", str(ready.port),
+        "--post-train", "1", "--point-budget", "256", "--capacity", "2048",
+    )
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["frames"] == 2 and not res["timed_out"]

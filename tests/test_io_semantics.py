@@ -227,3 +227,55 @@ def test_frame_queue_source_silence_times_out():
     q = FrameQueue(gen(), point_budget=64, prefetch=1, timeout_s=0.5)
     n = sum(1 for _ in q)
     assert n == 2 and q.timed_out
+
+
+def test_socket_stream_feeds_pipeline():
+    """Live TCP ingestion (io/stream.py): frames published over a socket
+    drive SLAMPipeline.run end-to-end — the ROS-free equivalent of the
+    reference's topic-driven loop."""
+    import threading
+
+    import dataclasses
+
+    from sags_tpu.core.config import SLAMConfig
+    from sags_tpu.io.datasets import SyntheticDataset
+    from sags_tpu.io.stream import serve_frames, socket_frames
+    from sags_tpu.slam.pipeline import SLAMPipeline
+
+    ds = list(SyntheticDataset(n_frames=3, width=48, height=36,
+                               pts_per_frame=256))
+    ready = threading.Event()
+    t = threading.Thread(target=serve_frames, args=(ds,),
+                         kwargs={"port": 0, "ready": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10.0)
+
+    cfg = SLAMConfig(post_train_iters=1)
+    cfg = cfg.replace(
+        raster=dataclasses.replace(cfg.raster, tile_capacity=64, chunk=16),
+        map=dataclasses.replace(cfg.map, initial_capacity=2048),
+    )
+    pipe = SLAMPipeline(cfg, point_budget=256)
+    res = pipe.run(socket_frames(ready.port))
+    assert len(res.poses_est) == 3 and not res.timed_out
+
+
+def test_socket_stream_roundtrips_all_fields():
+    import threading
+
+    from sags_tpu.io.datasets import SyntheticDataset
+    from sags_tpu.io.stream import serve_frames, socket_frames
+
+    ds = list(SyntheticDataset(n_frames=2, width=32, height=24,
+                               imu_substeps=3))
+    ready = threading.Event()
+    threading.Thread(target=serve_frames, args=(ds,),
+                     kwargs={"port": 0, "ready": ready}, daemon=True).start()
+    assert ready.wait(10.0)
+    got = list(socket_frames(ready.port))
+    assert len(got) == 2
+    np.testing.assert_array_equal(got[0].image, ds[0].image)
+    np.testing.assert_array_equal(got[0].points, ds[0].points)
+    np.testing.assert_array_equal(got[1].pose, ds[1].pose)
+    if ds[1].imu is not None:
+        np.testing.assert_array_equal(got[1].imu, ds[1].imu)
