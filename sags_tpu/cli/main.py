@@ -87,16 +87,17 @@ def cmd_run_slam(args):
     n_frames = len(frames) if isinstance(frames, list) else len(res.poses_est)
     if isinstance(frames, list):
         scores = pipe.evaluate(frames, every=max(1, n_frames // 5))
-        psnr = float(np.mean([s["psnr"] for s in scores])) if scores else float("nan")
+        # None (JSON null), not NaN: bare NaN is invalid JSON
+        psnr = float(np.mean([s["psnr"] for s in scores])) if scores else None
     else:  # live stream: frames are consumed; no replay to evaluate against
-        psnr = float("nan")
+        psnr = None
     print(
         json.dumps(
             {
                 "frames": n_frames,
                 "train_iters": res.train_iters,
                 "fps": n_frames / max(dt, 1e-9),
-                "ate_rmse": ate,
+                "ate_rmse": ate if np.isfinite(ate) else None,
                 "mean_psnr": psnr,
                 "keyframes": res.n_keyframes,
                 "timed_out": res.timed_out,
@@ -247,16 +248,18 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="sags-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    def add_dataset_args(sp):
-        sp.add_argument("--dataset", default="synthetic",
-                        choices=["synthetic", "tum", "replica", "socket"])
+    def add_dataset_args(sp, live=False):
+        # "socket" (a consumed-once generator) only makes sense for the
+        # online SLAM loop; train/run-gicp/eval index a materialized list
+        choices = ["synthetic", "tum", "replica"] + (["socket"] if live else [])
+        sp.add_argument("--dataset", default="synthetic", choices=choices)
         sp.add_argument("--path", default="")
         sp.add_argument("--frames", type=int, default=20)
         sp.add_argument("--width", type=int, default=160)
         sp.add_argument("--height", type=int, default=120)
 
     sp = sub.add_parser("run-slam")
-    add_dataset_args(sp)
+    add_dataset_args(sp, live=True)
     sp.add_argument("--preset", default="", choices=["", "fast_livo2", "replica", "tum"])
     sp.add_argument("--tracking", default="none",
                     choices=["none", "gicp", "vgicp", "esikf"])

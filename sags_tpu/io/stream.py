@@ -57,6 +57,9 @@ def _decode(payload: bytes) -> Frame:
     )
 
 
+MAX_RECORD_BYTES = 256 << 20  # reject absurd headers (DoS / desync guard)
+
+
 def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
     chunks = []
     while n:
@@ -99,25 +102,46 @@ def serve_frames(
 
 
 def socket_frames(
-    port: int, host: str = "127.0.0.1", connect_timeout: float = 10.0
+    port: int,
+    host: str = "127.0.0.1",
+    connect_timeout: float = 10.0,
+    first_frame_timeout: Optional[float] = 60.0,
 ) -> Iterator[Frame]:
     """Generator of Frames from a `serve_frames` publisher. Blocks on the
     socket between frames — exactly the live-sensor shape `SLAMPipeline.run`
-    consumes (its FrameQueue measures source silence against
-    `cfg.timeout_s` while this generator waits)."""
+    consumes (its FrameQueue measures source silence against `cfg.timeout_s`
+    while this generator waits; that clock only starts after the FIRST
+    frame, so a publisher that connects but never sends gets its own
+    `first_frame_timeout` here). A clean stream ends with the zero-length
+    terminator; bare EOF or a desynced/oversized header raises
+    ConnectionError instead of silently truncating the run."""
     conn = socket.create_connection((host, port), timeout=connect_timeout)
-    conn.settimeout(None)  # silence handling belongs to FrameQueue
+    conn.settimeout(first_frame_timeout)
     try:
+        first = True
         while True:
-            hdr = _recv_exact(conn, _LEN.size)
+            try:
+                hdr = _recv_exact(conn, _LEN.size)
+            except socket.timeout:
+                raise ConnectionError(
+                    f"publisher sent no frame within {first_frame_timeout}s"
+                )
             if hdr is None:
-                return
+                raise ConnectionError(
+                    "stream ended without the zero-length terminator "
+                    "(publisher crashed?)"
+                )
             (n,) = _LEN.unpack(hdr)
             if n == 0:
                 return
+            if n > MAX_RECORD_BYTES:
+                raise ConnectionError(f"record header {n} bytes: desync/DoS")
             payload = _recv_exact(conn, n)
             if payload is None:
-                return
+                raise ConnectionError("stream ended mid-record")
+            if first:
+                conn.settimeout(None)  # silence now belongs to FrameQueue
+                first = False
             yield _decode(payload)
     finally:
         conn.close()
