@@ -320,7 +320,7 @@ def _bwd_kernel(counts_ref, bases_ref, dests_ref, nblks_ref, table_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "tiles_x", "alpha_min", "t_min", "chunk",
-                     "n_span", "w_blocks"),
+                     "n_span", "w_blocks", "interpret"),
 )
 def composite_windowed_bwd(
     gb: jax.Array,      # [NB_total, CH, 128] anchor-sorted blocked row store
@@ -339,6 +339,7 @@ def composite_windowed_bwd(
     chunk: int = 256,
     n_span: int = 4,
     w_blocks: int = 12,
+    interpret: bool = False,
 ) -> jax.Array:
     """Returns per-pair gradients dGt [NT, CH, K_TILE] in table order."""
     NT = table.shape[0]
@@ -382,6 +383,7 @@ def composite_windowed_bwd(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NT, CH, K_TILE), jnp.float32),
+        interpret=interpret,
     )(counts.astype(jnp.int32), bases.astype(jnp.int32),
       dests.astype(jnp.int32), nblks.astype(jnp.int32), table, gb,
       d_accum, d_T[..., None], T_final[..., None])
@@ -390,7 +392,7 @@ def composite_windowed_bwd(
 @functools.partial(
     jax.jit,
     static_argnames=("n_feat", "tile", "tiles_x", "alpha_min", "t_min",
-                     "chunk", "n_span", "w_blocks"),
+                     "chunk", "n_span", "w_blocks", "interpret"),
 )
 def composite_windowed(
     gb: jax.Array,      # [NB_total, CH, 128] anchor-sorted blocked row store
@@ -407,6 +409,7 @@ def composite_windowed(
     chunk: int = 256,
     n_span: int = 4,
     w_blocks: int = 12,
+    interpret: bool = False,
 ):
     """Returns (accum [NT, PIX, n_feat], T_final [NT, PIX])."""
     NT = table.shape[0]
@@ -451,6 +454,7 @@ def composite_windowed(
             jax.ShapeDtypeStruct((NT, PIX, CF), jnp.float32),
             jax.ShapeDtypeStruct((NT, PIX, 1), jnp.float32),
         ],
+        interpret=interpret,
     )(counts.astype(jnp.int32), bases.astype(jnp.int32),
       dests.astype(jnp.int32), nblks.astype(jnp.int32), table, gb)
     return acc, T[..., 0]

@@ -825,6 +825,7 @@ def _composite_windowed_with_xla_vjp(
     P = G_s.shape[0]
     P_pad = -(-(P + NB * 128) // 128) * 128
     CH = 32  # kernel rows: geometry + features; extras stay host-side
+    interpret = jax.default_backend() != "tpu"  # CPU tests (pallas_interpret)
 
     def _blocked(G_s):
         G_pad = jnp.concatenate(
@@ -837,6 +838,7 @@ def _composite_windowed_with_xla_vjp(
             _blocked(G_s), table_local, counts, bases, dests, nblks, CF_in,
             cfg.tile, tiles_x, alpha_min=cfg.alpha_min,
             t_min=cfg.transmittance_min, chunk=K_chunk, n_span=R, w_blocks=NB,
+            interpret=interpret,
         )
         return acc[..., :n_feat], T
 
@@ -879,7 +881,7 @@ def _composite_windowed_with_xla_vjp(
                 _blocked(G_s), table_local, counts, bases, dests, nblks,
                 d_acc_full, d_T, T_final, cfg.tile, tiles_x,
                 alpha_min=cfg.alpha_min, t_min=cfg.transmittance_min,
-                chunk=K_chunk, n_span=R, w_blocks=NB,
+                chunk=K_chunk, n_span=R, w_blocks=NB, interpret=interpret,
             )  # [NT, CH, K_TILE] per-pair grads in table order
             dG_rows = dGt.transpose(0, 2, 1).reshape(-1, CH)
             safe = jnp.maximum(table_rows, 0).reshape(-1)
@@ -1055,7 +1057,7 @@ def rasterize(
     R = int(round(cfg.max_tiles_per_gaussian ** 0.5))
     use_windowed = (
         (cfg.windowed if windowed is None else windowed)
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or cfg.pallas_interpret)
         and mesh is None
         and fused is not False  # fused=False forces the XLA scan (CPU/debug)
         and cfg.tile_capacity % 128 == 0

@@ -291,3 +291,49 @@ def test_pipeline_overflow_adaptation_grows_knobs():
     assert pipe.cfg.raster.window_blocks == cfg.raster.window_blocks + 2
     assert pipe.cfg.raster.windowed_big_frac == min(
         cfg.raster.windowed_big_frac * 2, 1.0)
+
+
+def test_windowed_interpret_matches_xla_cpu():
+    """The windowed fused fwd+bwd kernels run under Pallas interpret mode on
+    CPU (`pallas_interpret`), giving the windowed path CPU-CI coverage (the
+    TPU parity tests skip under the suite's forced-CPU conftest)."""
+    rng = np.random.default_rng(0)
+    n, W, H = 1024, 96, 64
+    z = rng.uniform(2.0, 10.0, (n, 1))
+    xy = rng.uniform(-0.5, 0.5, (n, 2)) * z
+    means = np.concatenate([xy, z], 1).astype(np.float32)
+    scales = (rng.uniform(0.005, 0.02, (n, 3)) * z).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, -1, keepdims=True)
+    opac = rng.uniform(0.3, 0.9, (n,)).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    objs = rng.normal(size=(n, 16)).astype(np.float32)
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                      W, H, 1.2, 0.9)
+    cfg = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=128,
+                          chunk=16, pallas_interpret=True, window_blocks=24,
+                          windowed_mid_frac=1.0, windowed_big_frac=1.0)
+    tgt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
+    A = tuple(jnp.asarray(v) for v in (means, opac, scales, quats, colors, objs))
+
+    ow = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    assert int(ow.overflow_window) == 0 and int(ow.overflow_big) == 0
+    ox = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg, colors=a[4], obj_features=a[5],
+        windowed=False, fused=False))(*A)
+    np.testing.assert_allclose(np.asarray(ow.color), np.asarray(ox.color),
+                               atol=1e-5)
+
+    def make_loss(windowed, fused):
+        def loss(m):
+            r = rz.rasterize(m, A[1], A[2], A[3], cam, cfg, colors=A[4],
+                             obj_features=A[5], windowed=windowed, fused=fused)
+            return jnp.sum((r.color - tgt) ** 2) + jnp.sum(r.final_T ** 2)
+        return loss
+
+    gw = jax.jit(jax.grad(make_loss(True, None)))(A[0])
+    gx = jax.jit(jax.grad(make_loss(False, False)))(A[0])
+    rel = float(jnp.abs(gw - gx).max() / (jnp.abs(gx).max() + 1e-8))
+    assert rel < 1e-4, rel
