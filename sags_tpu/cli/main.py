@@ -39,7 +39,8 @@ def _load_dataset(args):
         # pipeline stages it frame-by-frame and applies timeout_s silence
         from sags_tpu.io.stream import socket_frames
 
-        return socket_frames(args.port)
+        # generous connect window: a publisher may still be loading/rendering
+        return socket_frames(args.port, connect_timeout=180.0)
     raise SystemExit(f"unknown dataset {args.dataset}")
 
 
@@ -175,6 +176,25 @@ def cmd_run_gicp(args):
     )
 
 
+def cmd_serve(args):
+    """Publish a dataset as a live TCP frame stream (io/stream.py) — the
+    sensor-side counterpart of `run-slam --dataset socket`."""
+    from sags_tpu.io.stream import serve_frames
+
+    frames = _load_dataset(args)
+
+    def paced():
+        for f in frames:
+            if args.hz > 0:
+                time.sleep(1.0 / args.hz)
+            yield f
+
+    print(f"serving {len(frames)} frames on port {args.port} "
+          f"(waiting for a consumer)...", file=sys.stderr)
+    serve_frames(paced(), port=args.port)
+    print("stream complete", file=sys.stderr)
+
+
 def cmd_render(args):
     import jax.numpy as jnp
 
@@ -308,6 +328,13 @@ def main(argv=None):
     sp.add_argument("--map", required=True)
     sp.add_argument("--every", type=int, default=1)
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("serve")
+    add_dataset_args(sp)
+    sp.add_argument("--port", type=int, default=7011)
+    sp.add_argument("--hz", type=float, default=0.0,
+                    help="publish rate (0 = as fast as the consumer reads)")
+    sp.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -114,8 +114,21 @@ def socket_frames(
     frame, so a publisher that connects but never sends gets its own
     `first_frame_timeout` here). A clean stream ends with the zero-length
     terminator; bare EOF or a desynced/oversized header raises
-    ConnectionError instead of silently truncating the run."""
-    conn = socket.create_connection((host, port), timeout=connect_timeout)
+    ConnectionError instead of silently truncating the run.
+
+    Connection attempts retry until `connect_timeout` elapses — a live
+    publisher may come up slower than its consumer."""
+    import time as _time
+
+    deadline = _time.monotonic() + connect_timeout
+    while True:
+        try:
+            conn = socket.create_connection((host, port), timeout=2.0)
+            break
+        except OSError:
+            if _time.monotonic() >= deadline:
+                raise
+            _time.sleep(0.25)
     conn.settimeout(first_frame_timeout)
     try:
         first = True

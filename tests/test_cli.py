@@ -98,3 +98,32 @@ def test_run_slam_socket_stream(tmp_path):
     )
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["frames"] == 2 and not res["timed_out"]
+
+
+@pytest.mark.slow
+def test_serve_and_run_slam_two_processes(tmp_path):
+    """`serve` (publisher CLI) feeding `run-slam --dataset socket`."""
+    import subprocess
+    import sys as _sys
+
+    srv = subprocess.Popen(
+        [_sys.executable, "-m", "sags_tpu.cli.main", "serve",
+         "--dataset", "synthetic", "--frames", "2",
+         "--width", "48", "--height", "36", "--port", "7213"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo", "HOME": "/root"},
+    )
+    try:
+        out = run_cli(
+            "run-slam", "--dataset", "socket", "--port", "7213",
+            "--post-train", "1", "--point-budget", "256", "--capacity", "2048",
+        )
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+        assert res["frames"] == 2
+    finally:
+        try:
+            srv.wait(timeout=120)
+        except subprocess.TimeoutExpired:
+            srv.kill()
+            raise
