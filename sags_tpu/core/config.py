@@ -55,6 +55,12 @@ class RasterizeConfig:
     # (both doubled, capped at 1.0).
     windowed_mid_frac: float = 0.25
     windowed_big_frac: float = 0.125
+    # Split-precision windowed forward: the 16 obj channels ride the
+    # candidate window as bf16 pairs packed in f32 rows (kernel rows 32→24:
+    # 25% less DMA + select traffic). Forward-only — backward always takes
+    # the exact f32 XLA-recompute path. Obj channels carry bf16 (~1e-3 rel)
+    # error; rgb/depth stay exact f32. See docs/PERFORMANCE.md.
+    windowed_bf16: bool = False
 
 
 @dataclass(frozen=True)

@@ -57,7 +57,7 @@ WIDE_CH = 40
 
 def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, table_ref, gb_ref,
             acc_out, t_out, cand, gsel, acc_s, t_s, sems, *, tile, tiles_x,
-            alpha_min, t_min, chunk, n_span, w_blocks):
+            alpha_min, t_min, chunk, n_span, w_blocks, bf16_obj=False):
     t = pl.program_id(0)
     c = pl.program_id(1)
     NC = pl.num_programs(1)
@@ -146,11 +146,29 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, table_ref, gb_ref,
         T_exc = t_s[...] * inc
         m = gate & (T_exc * om >= t_min)
         w = jnp.where(m, a * T_exc, 0.0)
-        acc_s[...] += jax.lax.dot_general(
-            w, g[HDR:HDR + CF, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if bf16_obj:
+            # Split-precision layout (CH=24): rows 8..15 are f32 features
+            # (rgb, dz0, A, B, 1, pad); rows 16..23 pack the 16 obj channels
+            # as bf16 pairs in f32 (lo = 2c, hi = 2c+1) — gathered as f32
+            # (Mosaic's dynamic_gather rejects bf16 with i32 indices) and
+            # bitcast back here. Acc columns: [f32feat 0..7 | obj 8..23].
+            obj = pltpu.bitcast(g[16:24, :], jnp.bfloat16)  # [16, K]
+            acc_f = jax.lax.dot_general(
+                w, g[8:16, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            acc_o = jax.lax.dot_general(
+                w.astype(jnp.bfloat16), obj, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_s[...] += jnp.concatenate([acc_f, acc_o], axis=1)
+        else:
+            acc_s[...] += jax.lax.dot_general(
+                w, g[HDR:HDR + CF, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         # T *= Π_m om without reduce_prod (unsupported): m is monotone within
         # a chunk, so the post-chunk T is the smallest m-true T_exc·om.
         t_s[...] = jnp.min(
@@ -392,7 +410,7 @@ def composite_windowed_bwd(
 @functools.partial(
     jax.jit,
     static_argnames=("n_feat", "tile", "tiles_x", "alpha_min", "t_min",
-                     "chunk", "n_span", "w_blocks", "interpret"),
+                     "chunk", "n_span", "w_blocks", "interpret", "bf16_obj"),
 )
 def composite_windowed(
     gb: jax.Array,      # [NB_total, CH, 128] anchor-sorted blocked row store
@@ -410,6 +428,7 @@ def composite_windowed(
     n_span: int = 4,
     w_blocks: int = 12,
     interpret: bool = False,
+    bf16_obj: bool = False,
 ):
     """Returns (accum [NT, PIX, n_feat], T_final [NT, PIX])."""
     NT = table.shape[0]
@@ -423,7 +442,7 @@ def composite_windowed(
 
     kern = functools.partial(
         _kernel, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min, t_min=t_min,
-        chunk=K, n_span=n_span, w_blocks=w_blocks,
+        chunk=K, n_span=n_span, w_blocks=w_blocks, bf16_obj=bf16_obj,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

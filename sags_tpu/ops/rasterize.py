@@ -379,7 +379,8 @@ _G_HDR = 8
 
 
 def _pack_gaussians(
-    pre: Preprocessed, obj_features: jax.Array, extras: bool = False
+    pre: Preprocessed, obj_features: jax.Array, extras: bool = False,
+    pack_obj_bf16: bool = False,
 ) -> jax.Array:
     O = obj_features.shape[-1]
     CF = 3 + O + 4
@@ -410,7 +411,23 @@ def _pack_gaussians(
             sg(pre.rmax_x - pre.rmin_x), sg(pre.rmax_y - pre.rmin_y),
             sg(_depth_quant(pre)), sg(pre.rcull2), zero, zero,
         ]
-    return jnp.stack(cols, axis=-1)  # [P, width (+8 with extras)]
+        # Columns 40..47: the obj channels as bf16 pairs packed in f32
+        # (lo = channel 2c, hi = 2c+1) for the split-precision windowed
+        # kernel (cfg.windowed_bf16) — pltpu.bitcast unpacks them to
+        # [16,128] bf16 in exact channel order. Gradient-free: grads flow
+        # through the unpacked rows via the XLA-recompute backward.
+        if pack_obj_bf16 and O == 16:
+            u16 = jax.lax.bitcast_convert_type(
+                jax.lax.stop_gradient(obj_features).astype(jnp.bfloat16),
+                jnp.uint16,
+            )
+            lo = u16[:, 0::2].astype(jnp.uint32)
+            hi = u16[:, 1::2].astype(jnp.uint32)
+            packed = jax.lax.bitcast_convert_type(
+                (hi << 16) | lo, jnp.float32
+            )
+            cols += [packed[:, i] for i in range(8)]
+    return jnp.stack(cols, axis=-1)  # [P, width (+8/+16 with extras)]
 
 
 def _tile_pixel_coords(tiles_x: int, tiles_y: int, tile: int):
@@ -633,7 +650,10 @@ def _prepare_windowed(
     iota = jnp.arange(P, dtype=jnp.int32)
     akey = (anchor << 16) | dq
     akey_s, perm = jax.lax.sort((akey, iota), num_keys=1)
-    G = _pack_gaussians(pre, obj_features, extras=True)
+    G = _pack_gaussians(
+        pre, obj_features, extras=True,
+        pack_obj_bf16=bool(getattr(cfg, "windowed_bf16", False)),
+    )
     G_s = G[perm]  # ONE P-row gather; everything downstream is contiguous
     rowstart = jnp.searchsorted(
         akey_s, jnp.arange(NT + 1, dtype=jnp.int32) << 16
@@ -825,21 +845,40 @@ def _composite_windowed_with_xla_vjp(
     P = G_s.shape[0]
     P_pad = -(-(P + NB * 128) // 128) * 128
     CH = 32  # kernel rows: geometry + features; extras stay host-side
+    # Split precision (docs/PERFORMANCE.md): 24 kernel rows — 8 header +
+    # 8 f32 features (rgb, dz0, A, B, 1, pad) + 8 f32 rows packing the 16
+    # obj channels as bf16 pairs (columns 40..47 of _pack_gaussians).
+    # Only for the forward render: backward always takes the exact
+    # XLA-recompute branch on the unpacked rows.
+    bf16_obj = bool(getattr(cfg, "windowed_bf16", False)) and G_s.shape[1] >= 48
+    CH_K = 24 if bf16_obj else CH
     interpret = jax.default_backend() != "tpu"  # CPU tests (pallas_interpret)
 
     def _blocked(G_s):
+        if bf16_obj:
+            rows = jnp.concatenate(
+                [G_s[:, 0:11], G_s[:, 27:32], G_s[:, 40:48]], axis=1
+            )  # hdr(8) + rgb(3) | dz0,A,B,1,pad(5) | packed obj(8) = 24
+        else:
+            rows = G_s[:, :CH]
         G_pad = jnp.concatenate(
-            [G_s[:, :CH], jnp.zeros((P_pad - P, CH), G_s.dtype)], axis=0
+            [rows, jnp.zeros((P_pad - P, CH_K), G_s.dtype)], axis=0
         )
-        return G_pad.T.reshape(CH, P_pad // 128, 128).transpose(1, 0, 2)
+        return G_pad.T.reshape(CH_K, P_pad // 128, 128).transpose(1, 0, 2)
 
     def primal(G_s, table_rows, table_local, counts, bases, dests, nblks):
         acc, T = composite_windowed(
             _blocked(G_s), table_local, counts, bases, dests, nblks, CF_in,
             cfg.tile, tiles_x, alpha_min=cfg.alpha_min,
             t_min=cfg.transmittance_min, chunk=K_chunk, n_span=R, w_blocks=NB,
-            interpret=interpret,
+            interpret=interpret, bf16_obj=bf16_obj,
         )
+        if bf16_obj:
+            # kernel acc columns: rgb(0:3) dz0,A,B,1(3:7) pad(7) obj(8:24)
+            # → canonical feature order rgb | obj16 | dz0,A,B,1
+            acc = jnp.concatenate(
+                [acc[..., 0:3], acc[..., 8:24], acc[..., 3:7]], axis=-1
+            )
         return acc[..., :n_feat], T
 
     f = jax.custom_vjp(primal)
@@ -855,11 +894,13 @@ def _composite_windowed_with_xla_vjp(
         d_acc, d_T = cots
         ints = (table_rows, table_local, counts, bases, dests, nblks)
         zeros_int = tuple(_np.zeros(x.shape, jax.dtypes.float0) for x in ints)
-        if not cfg.pallas_backward:
+        if bf16_obj or not cfg.pallas_backward:
             # Recompute ONLY over pairs the windowed forward actually
             # composited: entries the span window dropped (table_local == -1)
             # must not contribute gradient, or d(loss) is pulled back through
             # a different render than the one that produced the primal.
+            # (bf16_obj always lands here: the windowed bwd kernel reads the
+            # full-precision 32-row layout, not the packed store.)
             NT, K = table_rows.shape
             table_eff = jnp.where(
                 table_local.reshape(NT, K) >= 0, table_rows, -1

@@ -6,17 +6,24 @@ without a cluster" via `xla_force_host_platform_device_count` (see SURVEY.md §4
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env may point at a TPU tunnel
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+# SAGS_TEST_TPU=1 opts out of the CPU force so the TPU-only parity suite
+# (tests/test_pallas_tpu.py) can run against the real chip:
+#   SAGS_TEST_TPU=1 PYTHONPATH=.:/root/.axon_site pytest tests/test_pallas_tpu.py
+_use_tpu = os.environ.get("SAGS_TEST_TPU", "") == "1"
+
+if not _use_tpu:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env may point at a TPU tunnel
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
 # The axon sitecustomize imports jax at interpreter startup with
 # JAX_PLATFORMS=axon already captured; override via config (backends are not
 # initialized until first use, so this still wins).
-jax.config.update("jax_platforms", "cpu")
+if not _use_tpu:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402

@@ -158,3 +158,27 @@ def test_windowed_tiny_scene_renders():
         a[0], a[1], a[2], a[3], cam, CFG, colors=a[4], obj_features=a[5],
         windowed=True))(*A)
     assert np.isfinite(np.asarray(out.color)).all()
+
+
+def test_windowed_bf16_obj_matches_full_precision():
+    """Split-precision windowed forward (cfg.windowed_bf16): the 16 obj
+    channels ride the candidate window as bf16 pairs packed in f32 rows
+    (gathered as f32, pltpu.bitcast in-kernel — Mosaic's dynamic_gather
+    rejects bf16 data with i32 indices). rgb/depth/T must be bit-identical
+    to the full-precision windowed render; obj carries bf16-level error."""
+    A, cam, _ = _windowed_scene()
+    cfg = dataclasses.replace(CFG, window_blocks=24, windowed_mid_frac=1.0,
+                              windowed_big_frac=1.0)
+    cfg16 = dataclasses.replace(cfg, windowed_bf16=True)
+    ow = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    ob = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg16, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    np.testing.assert_array_equal(np.asarray(ob.color), np.asarray(ow.color))
+    np.testing.assert_array_equal(np.asarray(ob.depth), np.asarray(ow.depth))
+    np.testing.assert_array_equal(np.asarray(ob.final_T), np.asarray(ow.final_T))
+    o_ref = np.asarray(ow.objects)
+    o_rel = np.abs(np.asarray(ob.objects) - o_ref).max() / (np.abs(o_ref).max() + 1e-9)
+    assert 0.0 < o_rel < 2e-2, o_rel

@@ -7,6 +7,8 @@ conditioned depth, background depth 15). We compare our batched cumprod/matmul
 formulation against it pixel-for-pixel.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -337,3 +339,27 @@ def test_windowed_interpret_matches_xla_cpu():
     gx = jax.jit(jax.grad(make_loss(False, False)))(A[0])
     rel = float(jnp.abs(gw - gx).max() / (jnp.abs(gx).max() + 1e-8))
     assert rel < 1e-4, rel
+
+    # Split-precision windowed forward (cfg.windowed_bf16): rgb/depth must
+    # stay EXACTLY f32 (only the obj matmul runs in bf16); obj channels
+    # carry bf16-level error; gradients take the exact XLA-recompute branch
+    # so they match the full-precision path to f32 tolerance.
+    cfg16 = dataclasses.replace(cfg, windowed_bf16=True)
+    ob = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg16, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    np.testing.assert_array_equal(np.asarray(ob.color), np.asarray(ow.color))
+    np.testing.assert_array_equal(np.asarray(ob.depth), np.asarray(ow.depth))
+    o_ref = np.asarray(ow.objects)
+    o_rel = np.abs(np.asarray(ob.objects) - o_ref).max() / (np.abs(o_ref).max() + 1e-9)
+    assert o_rel < 2e-2, o_rel
+    assert o_rel > 0.0  # the bf16 path must actually have been taken
+
+    def loss16(m):
+        r = rz.rasterize(m, A[1], A[2], A[3], cam, cfg16, colors=A[4],
+                         obj_features=A[5], windowed=True)
+        return jnp.sum((r.color - tgt) ** 2) + jnp.sum(r.final_T ** 2)
+
+    g16 = jax.jit(jax.grad(loss16))(A[0])
+    rel16 = float(jnp.abs(g16 - gx).max() / (jnp.abs(gx).max() + 1e-8))
+    assert rel16 < 1e-4, rel16
