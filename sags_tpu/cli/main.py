@@ -176,6 +176,62 @@ def cmd_run_gicp(args):
     )
 
 
+def _load_points(path: str) -> np.ndarray:
+    """Load a raw [N,3] point cloud: .npy/.npz, .ply (vertex x,y,z),
+    KITTI .bin (float32 x,y,z,reflectance), or whitespace text."""
+    if path.endswith(".npy") or path.endswith(".npz"):
+        arr = np.load(path)
+        if hasattr(arr, "files"):
+            arr = arr[arr.files[0]]
+    elif path.endswith(".ply"):
+        from sags_tpu.io.ply import _read_ply_raw
+
+        _, cols = _read_ply_raw(path)
+        arr = np.stack([cols["x"], cols["y"], cols["z"]], 1)
+    elif path.endswith(".bin"):
+        arr = np.fromfile(path, dtype=np.float32).reshape(-1, 4)[:, :3]
+    else:
+        arr = np.loadtxt(path, dtype=np.float32)
+    pts = np.asarray(arr, np.float32).reshape(-1, arr.shape[-1])[:, :3]
+    return pts[np.isfinite(pts).all(axis=1)]
+
+
+def cmd_align(args):
+    """Pairwise-alignment timing harness — the reference's `src/align.cpp:22-90`
+    benchmark (each method run once cold, then N× for steady-state rate)."""
+    from sags_tpu.ops import registration as R
+
+    target = _load_points(args.target)
+    source = _load_points(args.source)
+    if args.downsample > 0:
+        target = R.downsample(target, args.downsample)
+        source = R.downsample(source, args.downsample)
+    methods = (
+        ["GICP", "GICP_ST", "VGICP", "VGICP_CUDA", "NDT_CUDA"]
+        if args.method == "all" else [args.method.upper()]
+    )
+    for m in methods:
+        t0 = time.perf_counter()
+        T = R.align_points(target, source, method=m,
+                           voxel_resolution=args.voxel_resolution)
+        single = time.perf_counter() - t0
+        ts = []
+        for _ in range(args.n):
+            t0 = time.perf_counter()
+            T = R.align_points(target, source, method=m,
+                               voxel_resolution=args.voxel_resolution)
+            ts.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "method": m,
+            "n_target": len(target),
+            "n_source": len(source),
+            "single_ms": single * 1000.0,
+            "avg_ms": float(np.mean(ts)) * 1000.0 if ts else None,
+            "fps": 1.0 / float(np.mean(ts)) if ts else None,
+            "translation": np.asarray(T)[:3, 3].tolist(),
+        }))
+
+
 def cmd_serve(args):
     """Publish a dataset as a live TCP frame stream (io/stream.py) — the
     sensor-side counterpart of `run-slam --dataset socket`."""
@@ -328,6 +384,15 @@ def main(argv=None):
     sp.add_argument("--map", required=True)
     sp.add_argument("--every", type=int, default=1)
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("align")
+    sp.add_argument("--target", required=True)
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--method", default="all")
+    sp.add_argument("--n", type=int, default=10)
+    sp.add_argument("--downsample", type=float, default=-1.0)
+    sp.add_argument("--voxel-resolution", type=float, default=1.0)
+    sp.set_defaults(fn=cmd_align)
 
     sp = sub.add_parser("serve")
     add_dataset_args(sp)

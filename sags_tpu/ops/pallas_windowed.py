@@ -55,10 +55,13 @@ COL_RCULL2 = 37  # exact alpha-cull radius² (rasterize.preprocess)
 WIDE_CH = 40
 
 
-def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, table_ref, gb_ref,
-            acc_out, t_out, cand, gsel, acc_s, t_s, sems, *, tile, tiles_x,
-            alpha_min, t_min, chunk, n_span, w_blocks, bf16_obj=False):
+def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
+            gb_ref, acc_out, t_out, cand, gsel, acc_s, t_s, sems, *, tile,
+            tiles_x, alpha_min, t_min, chunk, n_span, w_blocks,
+            bf16_obj=False):
     t = pl.program_id(0)
+    tg = t + toff_ref[0]  # GLOBAL tile id (pixel coords) — under shard_map
+    # each device holds a contiguous tile slice; toff maps local → global.
     c = pl.program_id(1)
     NC = pl.num_programs(1)
     K = chunk
@@ -123,8 +126,8 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, table_ref, gb_ref,
             gsel[:, pl.ds(kb * 128, 128)] = sel
 
         g = gsel[...]
-        base_x = ((t % tiles_x) * tile).astype(jnp.float32)
-        base_y = ((t // tiles_x) * tile).astype(jnp.float32)
+        base_x = ((tg % tiles_x) * tile).astype(jnp.float32)
+        base_y = ((tg // tiles_x) * tile).astype(jnp.float32)
         pix_row = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 0)
         px = base_x + (pix_row % tile).astype(jnp.float32)
         py = base_y + (pix_row // tile).astype(jnp.float32)
@@ -181,15 +184,16 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, table_ref, gb_ref,
         t_out[0] = t_s[...][:, 0:1]
 
 
-def _bwd_kernel(counts_ref, bases_ref, dests_ref, nblks_ref, table_ref,
-                gb_ref, dacc_ref, dt_ref, tn_ref, dgt_out, cand, gsel,
-                t_entry_s, carry_s, dg_s, sems, *, tile, tiles_x, alpha_min,
-                t_min, chunk, n_span, w_blocks):
+def _bwd_kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref,
+                table_ref, gb_ref, dacc_ref, dt_ref, tn_ref, dgt_out, cand,
+                gsel, t_entry_s, carry_s, dg_s, sems, *, tile, tiles_x,
+                alpha_min, t_min, chunk, n_span, w_blocks):
     """Windowed fused backward: span DMA + in-VMEM depth-order select, then
     the exact reverse-sweep gradient of `pallas_composite._bwd_kernel` on the
     selected columns. One grid step per tile; emits per-pair gradients in
     table order (scatter-add to rows happens outside, deterministic)."""
     t = pl.program_id(0)
+    tg = t + toff_ref[0]  # global tile id (pixel coordinates)
     CH = gb_ref.shape[1]
     K_TILE = gsel.shape[1]
     K = chunk
@@ -241,8 +245,8 @@ def _bwd_kernel(counts_ref, bases_ref, dests_ref, nblks_ref, table_ref,
     dT_px = dt_ref[0]
     T_N = tn_ref[0]
 
-    base_x = ((t % tiles_x) * tile).astype(jnp.float32)
-    base_y = ((t // tiles_x) * tile).astype(jnp.float32)
+    base_x = ((tg % tiles_x) * tile).astype(jnp.float32)
+    base_y = ((tg // tiles_x) * tile).astype(jnp.float32)
     pix_row = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 0)
     px = base_x + (pix_row % tile).astype(jnp.float32)
     py = base_y + (pix_row // tile).astype(jnp.float32)
@@ -358,6 +362,7 @@ def composite_windowed_bwd(
     n_span: int = 4,
     w_blocks: int = 12,
     interpret: bool = False,
+    tile_offset=None,  # global id of local tile 0 (shard_map slices)
 ) -> jax.Array:
     """Returns per-pair gradients dGt [NT, CH, K_TILE] in table order."""
     NT = table.shape[0]
@@ -368,12 +373,16 @@ def composite_windowed_bwd(
     PIX = tile * tile
     CF = d_accum.shape[-1]
 
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
+    else:
+        tile_offset = jnp.asarray(tile_offset, jnp.int32).reshape(1)
     kern = functools.partial(
         _bwd_kernel, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min,
         t_min=t_min, chunk=K, n_span=n_span, w_blocks=w_blocks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(NT,),
         in_specs=[
             pl.BlockSpec((1, K_TILE // 128, 128), lambda t, *_: (t, 0, 0),
@@ -403,8 +412,8 @@ def composite_windowed_bwd(
         out_shape=jax.ShapeDtypeStruct((NT, CH, K_TILE), jnp.float32),
         interpret=interpret,
     )(counts.astype(jnp.int32), bases.astype(jnp.int32),
-      dests.astype(jnp.int32), nblks.astype(jnp.int32), table, gb,
-      d_accum, d_T[..., None], T_final[..., None])
+      dests.astype(jnp.int32), nblks.astype(jnp.int32), tile_offset, table,
+      gb, d_accum, d_T[..., None], T_final[..., None])
 
 
 @functools.partial(
@@ -429,6 +438,7 @@ def composite_windowed(
     w_blocks: int = 12,
     interpret: bool = False,
     bf16_obj: bool = False,
+    tile_offset=None,  # global id of local tile 0 (shard_map slices)
 ):
     """Returns (accum [NT, PIX, n_feat], T_final [NT, PIX])."""
     NT = table.shape[0]
@@ -440,12 +450,16 @@ def composite_windowed(
     PIX = tile * tile
     CF = n_feat
 
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
+    else:
+        tile_offset = jnp.asarray(tile_offset, jnp.int32).reshape(1)
     kern = functools.partial(
         _kernel, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min, t_min=t_min,
         chunk=K, n_span=n_span, w_blocks=w_blocks, bf16_obj=bf16_obj,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(NT, NC),
         in_specs=[
             pl.BlockSpec((1, K_TILE // 128, 128), lambda t, c, *_: (t, 0, 0),
@@ -475,5 +489,6 @@ def composite_windowed(
         ],
         interpret=interpret,
     )(counts.astype(jnp.int32), bases.astype(jnp.int32),
-      dests.astype(jnp.int32), nblks.astype(jnp.int32), table, gb)
+      dests.astype(jnp.int32), nblks.astype(jnp.int32), tile_offset, table,
+      gb)
     return acc, T[..., 0]

@@ -824,7 +824,7 @@ def _prepare_windowed(
 
 def _composite_windowed_with_xla_vjp(
     G_s, table_rows, table_local, counts, bases, dests, nblks,
-    n_feat, tiles_x, tiles_y, cfg
+    n_feat, tiles_x, tiles_y, cfg, tile_offset=None
 ):
     """Fused windowed forward. Backward: the windowed fused Pallas kernel
     (per-pair gradients from the same span DMAs + in-VMEM select, then one
@@ -853,6 +853,9 @@ def _composite_windowed_with_xla_vjp(
     bf16_obj = bool(getattr(cfg, "windowed_bf16", False)) and G_s.shape[1] >= 48
     CH_K = 24 if bf16_obj else CH
     interpret = jax.default_backend() != "tpu"  # CPU tests (pallas_interpret)
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
+    tile_offset = jnp.asarray(tile_offset, jnp.int32).reshape(1)
 
     def _blocked(G_s):
         if bf16_obj:
@@ -866,12 +869,13 @@ def _composite_windowed_with_xla_vjp(
         )
         return G_pad.T.reshape(CH_K, P_pad // 128, 128).transpose(1, 0, 2)
 
-    def primal(G_s, table_rows, table_local, counts, bases, dests, nblks):
+    def primal(G_s, table_rows, table_local, counts, bases, dests, nblks,
+               toff):
         acc, T = composite_windowed(
             _blocked(G_s), table_local, counts, bases, dests, nblks, CF_in,
             cfg.tile, tiles_x, alpha_min=cfg.alpha_min,
             t_min=cfg.transmittance_min, chunk=K_chunk, n_span=R, w_blocks=NB,
-            interpret=interpret, bf16_obj=bf16_obj,
+            interpret=interpret, bf16_obj=bf16_obj, tile_offset=toff,
         )
         if bf16_obj:
             # kernel acc columns: rgb(0:3) dz0,A,B,1(3:7) pad(7) obj(8:24)
@@ -883,16 +887,17 @@ def _composite_windowed_with_xla_vjp(
 
     f = jax.custom_vjp(primal)
 
-    def fwd(G_s, table_rows, table_local, counts, bases, dests, nblks):
-        out = primal(G_s, table_rows, table_local, counts, bases, dests, nblks)
+    def fwd(G_s, table_rows, table_local, counts, bases, dests, nblks, toff):
+        out = primal(G_s, table_rows, table_local, counts, bases, dests,
+                     nblks, toff)
         return out, (G_s, table_rows, table_local, counts, bases, dests,
-                     nblks, out[1])
+                     nblks, toff, out[1])
 
     def bwd(res, cots):
-        (G_s, table_rows, table_local, counts, bases, dests, nblks,
+        (G_s, table_rows, table_local, counts, bases, dests, nblks, toff,
          T_final) = res
         d_acc, d_T = cots
-        ints = (table_rows, table_local, counts, bases, dests, nblks)
+        ints = (table_rows, table_local, counts, bases, dests, nblks, toff)
         zeros_int = tuple(_np.zeros(x.shape, jax.dtypes.float0) for x in ints)
         if bf16_obj or not cfg.pallas_backward:
             # Recompute ONLY over pairs the windowed forward actually
@@ -907,7 +912,8 @@ def _composite_windowed_with_xla_vjp(
             )
             _, vjp = jax.vjp(
                 lambda g: _composite_core_xla(
-                    g, table_eff, counts, n_feat, tiles_x, tiles_y, cfg, None
+                    g, table_eff, counts, n_feat, tiles_x, tiles_y, cfg, None,
+                    tile_offset=toff,
                 ),
                 G_s[:, :CH],
             )
@@ -923,6 +929,7 @@ def _composite_windowed_with_xla_vjp(
                 d_acc_full, d_T, T_final, cfg.tile, tiles_x,
                 alpha_min=cfg.alpha_min, t_min=cfg.transmittance_min,
                 chunk=K_chunk, n_span=R, w_blocks=NB, interpret=interpret,
+                tile_offset=toff,
             )  # [NT, CH, K_TILE] per-pair grads in table order
             dG_rows = dGt.transpose(0, 2, 1).reshape(-1, CH)
             safe = jnp.maximum(table_rows, 0).reshape(-1)
@@ -937,7 +944,66 @@ def _composite_windowed_with_xla_vjp(
         return (dG,) + zeros_int
 
     f.defvjp(fwd, bwd)
-    return f(G_s, table_rows, table_local, counts, bases, dests, nblks)
+    return f(G_s, table_rows, table_local, counts, bases, dests, nblks,
+             tile_offset)
+
+
+def _composite_windowed_sharded(
+    G_s, table_rows, table_local, counts, bases, dests, nblks,
+    n_feat, tiles_x, tiles_y, cfg, mesh
+):
+    """Multi-chip windowed compositing: shard_map over the tiles axis.
+
+    Each device runs the windowed span-DMA kernels on its contiguous tile
+    slice — the anchor-sorted row store `G_s` is replicated (every shard's
+    windows DMA from the same global store), the per-tile plan
+    (table/counts/span bases) is sharded, and a `tile_offset` scalar
+    prefetch maps local program ids to global pixel coordinates. As with
+    `_composite_pallas_sharded`, shard_map's transpose psums the per-device
+    dG scatter-adds over ICI."""
+    from jax.sharding import PartitionSpec as P
+
+    from sags_tpu.parallel.mesh import TILE_AXIS
+
+    ndev = mesh.shape[TILE_AXIS]
+    NT, K = table_rows.shape
+    R = bases.shape[0] // NT
+    NT_pad = -(-NT // ndev) * ndev
+    b2, d2, n2 = (x.reshape(NT, R) for x in (bases, dests, nblks))
+    if NT_pad != NT:
+        pad = NT_pad - NT
+        # padded tiles: counts=0 (chunk skip), no span DMAs, empty tables
+        table_rows = jnp.concatenate(
+            [table_rows, jnp.full((pad, K), -1, table_rows.dtype)]
+        )
+        table_local = jnp.concatenate(
+            [table_local,
+             jnp.full((pad,) + table_local.shape[1:], -1, table_local.dtype)]
+        )
+        counts = jnp.concatenate([counts, jnp.zeros((pad,), counts.dtype)])
+        b2, d2, n2 = (
+            jnp.concatenate([x, jnp.zeros((pad, R), x.dtype)])
+            for x in (b2, d2, n2)
+        )
+
+    def local(G_s, table_rows, table_local, counts, b2, d2, n2):
+        toff = jax.lax.axis_index(TILE_AXIS) * (NT_pad // ndev)
+        return _composite_windowed_with_xla_vjp(
+            G_s, table_rows, table_local, counts,
+            b2.reshape(-1), d2.reshape(-1), n2.reshape(-1),
+            n_feat, tiles_x, tiles_y, cfg, tile_offset=toff[None],
+        )
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS, None), P(TILE_AXIS, None, None),
+                  P(TILE_AXIS), P(TILE_AXIS, None), P(TILE_AXIS, None),
+                  P(TILE_AXIS, None)),
+        out_specs=(P(TILE_AXIS, None, None), P(TILE_AXIS, None)),
+        check_vma=False,
+    )
+    acc, T = fn(G_s, table_rows, table_local, counts, b2, d2, n2)
+    return acc[:NT], T[:NT]
 
 
 def _composite_core_xla(
@@ -1099,7 +1165,6 @@ def rasterize(
     use_windowed = (
         (cfg.windowed if windowed is None else windowed)
         and (jax.default_backend() == "tpu" or cfg.pallas_interpret)
-        and mesh is None
         and fused is not False  # fused=False forces the XLA scan (CPU/debug)
         and cfg.tile_capacity % 128 == 0
         and R * R == cfg.max_tiles_per_gaussian
@@ -1117,10 +1182,16 @@ def rasterize(
          ov_rect, ov_tile, ov_win, ov_big) = _prepare_windowed(
             pre, obj_features, tiles_x, tiles_y, cfg
         )
-        accum, T_final = _composite_windowed_with_xla_vjp(
-            G_s, table, table_local, counts, bases, dests, nblks,
-            n_feat, tiles_x, tiles_y, cfg
-        )
+        if mesh is not None:
+            accum, T_final = _composite_windowed_sharded(
+                G_s, table, table_local, counts, bases, dests, nblks,
+                n_feat, tiles_x, tiles_y, cfg, mesh
+            )
+        else:
+            accum, T_final = _composite_windowed_with_xla_vjp(
+                G_s, table, table_local, counts, bases, dests, nblks,
+                n_feat, tiles_x, tiles_y, cfg
+            )
         px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
     else:
         table, counts, n_binned, ov_rect, ov_tile = bin_gaussians(
