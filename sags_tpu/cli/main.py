@@ -34,6 +34,18 @@ def _load_dataset(args):
         return list(D.TUMDataset(args.path))
     if args.dataset == "replica":
         return list(D.ReplicaDataset(args.path))
+    if args.dataset == "rosbag":
+        # ROS1 bag replay of the node's three topics (io/rosbag.py) —
+        # a generator, staged frame-by-frame like the socket source
+        from sags_tpu.io.rosbag import RosbagDataset
+
+        return iter(RosbagDataset(
+            args.path,
+            image_topic=args.image_topic,
+            cloud_topic=args.cloud_topic,
+            odom_topic=args.odom_topic,
+            imu_topic=args.imu_topic or None,
+        ))
     if args.dataset == "socket":
         # live TCP ingestion (io/stream.py): a generator, not a list — the
         # pipeline stages it frame-by-frame and applies timeout_s silence
@@ -325,14 +337,21 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def add_dataset_args(sp, live=False):
-        # "socket" (a consumed-once generator) only makes sense for the
-        # online SLAM loop; train/run-gicp/eval index a materialized list
-        choices = ["synthetic", "tum", "replica"] + (["socket"] if live else [])
+        # "socket"/"rosbag" (consumed-once generators) only make sense for
+        # the online SLAM loop; train/run-gicp/eval index a materialized list
+        choices = ["synthetic", "tum", "replica"] + (
+            ["socket", "rosbag"] if live else []
+        )
         sp.add_argument("--dataset", default="synthetic", choices=choices)
         sp.add_argument("--path", default="")
         sp.add_argument("--frames", type=int, default=20)
         sp.add_argument("--width", type=int, default=160)
         sp.add_argument("--height", type=int, default=120)
+        if live:
+            sp.add_argument("--image-topic", default="/rgb_img")
+            sp.add_argument("--cloud-topic", default="/cloud_registered")
+            sp.add_argument("--odom-topic", default="/aft_mapped_to_init")
+            sp.add_argument("--imu-topic", default="")
 
     sp = sub.add_parser("run-slam")
     add_dataset_args(sp, live=True)
