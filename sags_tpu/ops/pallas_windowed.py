@@ -136,8 +136,12 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
         power = -0.5 * (g[2:3, :] * dx * dx + g[4:5, :] * dy * dy) - g[3:4, :] * dx * dy
         alpha = jnp.minimum(0.99, g[5:6, :] * jnp.exp(power))
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 1)
-        in_count = (c * K + k_iota) < counts_ref[t]
-        gate = (power <= 0.0) & (alpha >= alpha_min) & in_count
+        # No in-count gate needed (unlike pallas_composite._kernel, whose
+        # clamped gather duplicates row 0 into empty lanes): lanes beyond
+        # the tile's queue — and window-overflow drops — carry
+        # table_local == -1, so the select leaves them all-zero and
+        # opacity 0 fails the alpha_min gate.
+        gate = (power <= 0.0) & (alpha >= alpha_min)
         a = jnp.where(gate, alpha, 0.0)
         om = 1.0 - a
         # exclusive prefix product (see pallas_composite._kernel)
@@ -267,8 +271,8 @@ def _bwd_kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref,
         power = -0.5 * (g[2:3, :] * dx * dx + g[4:5, :] * dy * dy) - g[3:4, :] * dx * dy
         raw = g[5:6, :] * jnp.exp(power)
         alpha = jnp.minimum(0.99, raw)
-        in_count = (c * K + k_iota) < counts_ref[t]
-        gate = (power <= 0.0) & (alpha >= alpha_min) & in_count
+        # empty/overflow lanes select all-zero columns (see forward kernel)
+        gate = (power <= 0.0) & (alpha >= alpha_min)
         a = jnp.where(gate, alpha, 0.0)
         om = 1.0 - a
         log_om = jnp.log1p(-a)

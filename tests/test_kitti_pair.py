@@ -92,3 +92,52 @@ def test_kitti_ndt(kitti_pair):
     te, re = errors(np.asarray(res.T), T_gt)
     assert te < 0.05, (te, re, int(res.iterations))
     assert re < 1.0, (te, re)
+
+
+@pytest.mark.slow
+def test_kitti_gicp_swap_scenarios(kitti_pair):
+    """The gtest's remaining two scenarios (`gicp_test.cpp:166-201`):
+    align, `swap_source_and_target()`, then re-set only ONE side — the
+    swapped state of the other side (points AND covariances) must be
+    reused correctly."""
+    from sags_tpu.ops.registration import FastGICP
+
+    (src, sm), (tgt, tm), T_gt = kitti_pair
+    src_np = np.asarray(src)[np.asarray(sm)]
+    tgt_np = np.asarray(tgt)[np.asarray(tm)]
+
+    # swap then set_input_source: target slot now holds the old source
+    reg = FastGICP(CFG)
+    reg.set_input_source(src_np)
+    reg.set_input_target(tgt_np)
+    T_fwd = reg.align(np.eye(4))
+    te, re = errors(T_fwd, T_gt)
+    assert te < 0.05 and re < 1.0, (te, re)
+    reg.swap_source_and_target()
+    reg.set_input_source(src_np)  # align src→src_old? No: src vs old source
+    # after the swap the target IS the old source; aligning the original
+    # source against it must give identity
+    T_id = reg.align(np.eye(4))
+    te_id = np.linalg.norm(T_id[:3, 3])
+    assert te_id < 0.01, te_id
+
+    # swap then set_input_target: source slot holds the old target
+    reg2 = FastGICP(CFG)
+    reg2.set_input_source(src_np)
+    reg2.set_input_target(tgt_np)
+    reg2.align(np.eye(4))
+    reg2.swap_source_and_target()
+    reg2.set_input_target(tgt_np)
+    # old-target (as source) vs target: identity again
+    T_id2 = reg2.align(np.eye(4))
+    assert np.linalg.norm(T_id2[:3, 3]) < 0.01
+
+    # pure swap: aligning the swapped pair recovers the inverse motion
+    reg3 = FastGICP(CFG)
+    reg3.set_input_source(src_np)
+    reg3.set_input_target(tgt_np)
+    reg3.align(np.eye(4))
+    reg3.swap_source_and_target()
+    T_bwd = reg3.align(np.eye(4))
+    te, re = errors(T_bwd, np.linalg.inv(T_gt))
+    assert te < 0.05 and re < 1.0, (te, re)
