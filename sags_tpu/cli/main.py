@@ -161,18 +161,41 @@ def cmd_run_gicp(args):
     reg = (FastVGICP if args.method == "vgicp" else FastGICP)()
     poses = [np.eye(4)]
     times = []
-    for i in range(1, len(frames)):
-        prev, curr = frames[i - 1], frames[i]
-        Tp = np.asarray(prev.pose)
-        Tc = np.asarray(curr.pose)
-        sp = (prev.points - Tp[:3, 3]) @ Tp[:3, :3]
-        sc = (curr.points - Tc[:3, 3]) @ Tc[:3, :3]
-        reg.set_input_target(sp)
-        reg.set_input_source(sc)
-        t0 = time.perf_counter()
-        delta = reg.align(np.eye(4))
-        times.append(time.perf_counter() - t0)
-        poses.append(poses[-1] @ delta)
+    if args.mode == "map":
+        # Scan-to-keyframe-map odometry (`python_tester/using_previous_30_*.py`
+        # :178-213): every Nth scan is registered into a world-frame keyframe
+        # stack that becomes the target; each raw scan aligns against it with
+        # the previous world pose as the initial guess.
+        def sensor_frame(f):
+            T = np.asarray(f.pose)
+            return (np.asarray(f.points) - T[:3, 3]) @ T[:3, :3]
+
+        h0 = sensor_frame(frames[0])  # poses[0] = I: world frame := frame 0
+        kf_stack = [h0]
+        reg.set_input_target(h0)
+        for i in range(1, len(frames)):
+            pts = sensor_frame(frames[i])
+            reg.set_input_source(pts)
+            t0 = time.perf_counter()
+            pose = np.asarray(reg.align(poses[-1]))
+            times.append(time.perf_counter() - t0)
+            poses.append(pose)
+            if i % args.keyframe_every == 1 or args.keyframe_every == 1:
+                kf_stack.append(pts @ pose[:3, :3].T + pose[:3, 3])
+                reg.set_input_target(np.vstack(kf_stack))
+    else:
+        for i in range(1, len(frames)):
+            prev, curr = frames[i - 1], frames[i]
+            Tp = np.asarray(prev.pose)
+            Tc = np.asarray(curr.pose)
+            sp = (prev.points - Tp[:3, 3]) @ Tp[:3, :3]
+            sc = (curr.points - Tc[:3, 3]) @ Tc[:3, :3]
+            reg.set_input_target(sp)
+            reg.set_input_source(sc)
+            t0 = time.perf_counter()
+            delta = reg.align(np.eye(4))
+            times.append(time.perf_counter() - t0)
+            poses.append(poses[-1] @ delta)
     gt = np.stack([np.asarray(f.pose) for f in frames])
     ate, _ = ate_rmse(np.stack(poses), gt)
     print(
@@ -180,6 +203,7 @@ def cmd_run_gicp(args):
             {
                 "frames": len(frames),
                 "method": args.method,
+                "mode": args.mode,
                 "ate_rmse": ate,
                 "mean_align_ms": float(np.mean(times) * 1000) if times else None,
                 "fps": 1.0 / float(np.mean(times)) if times else None,
@@ -383,6 +407,10 @@ def main(argv=None):
     sp = sub.add_parser("run-gicp")
     add_dataset_args(sp)
     sp.add_argument("--method", default="gicp", choices=["gicp", "vgicp"])
+    sp.add_argument("--mode", default="scan", choices=["scan", "map"],
+                    help="scan: scan-to-scan deltas (gicp_odometry2.py); "
+                         "map: scan-to-keyframe-map (using_previous_30_*.py)")
+    sp.add_argument("--keyframe-every", type=int, default=30)
     sp.set_defaults(fn=cmd_run_gicp)
 
     sp = sub.add_parser("render")

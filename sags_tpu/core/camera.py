@@ -160,3 +160,23 @@ def make_camera_from_intrinsics(
     return make_camera(
         R, t, width, height, focal2fov(fx, width), focal2fov(fy, height), znear, zfar
     )
+
+
+def camera_to_json(cam_id: int, camera: Camera, img_name: str = "") -> dict:
+    """Serializable camera entry for `cameras.json` (SIBR-viewer convention),
+    matching `utils/camera_utils.py:66-88` (`camera_to_JSON`): position and
+    rotation are camera→world, focals derived from the fovs.
+    """
+    V = np.asarray(camera.world_view)  # W2C in math convention
+    rot = V[:3, :3].T                  # C2W rotation
+    pos = np.asarray(camera.cam_center)
+    return {
+        "id": int(cam_id),
+        "img_name": img_name,
+        "width": int(camera.width),
+        "height": int(camera.height),
+        "position": [float(x) for x in pos],
+        "rotation": [[float(x) for x in row] for row in rot],
+        "fy": fov2focal(camera.fovy, camera.height),
+        "fx": fov2focal(camera.fovx, camera.width),
+    }

@@ -61,6 +61,11 @@ class RasterizeConfig:
     # the exact f32 XLA-recompute path. Obj channels carry bf16 (~1e-3 rel)
     # error; rgb/depth stay exact f32. See docs/PERFORMANCE.md.
     windowed_bf16: bool = False
+    # Exclusive-prefix-product formulation in the windowed forward kernel:
+    # "roll" = cyclic pltpu.roll + lane-iota mask per Hillis-Steele step;
+    # "pad" = static shift-fill-1 concat slices (no masks) + [PIX,1] pixel
+    # coords. Numerically identical; a perf A/B knob.
+    scan_impl: str = "roll"
 
 
 @dataclass(frozen=True)

@@ -58,7 +58,7 @@ WIDE_CH = 40
 def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
             gb_ref, acc_out, t_out, cand, gsel, acc_s, t_s, sems, *, tile,
             tiles_x, alpha_min, t_min, chunk, n_span, w_blocks,
-            bf16_obj=False):
+            bf16_obj=False, scan_impl="roll"):
     t = pl.program_id(0)
     tg = t + toff_ref[0]  # GLOBAL tile id (pixel coords) — under shard_map
     # each device holds a contiguous tile slice; toff maps local → global.
@@ -128,14 +128,21 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
         g = gsel[...]
         base_x = ((tg % tiles_x) * tile).astype(jnp.float32)
         base_y = ((tg // tiles_x) * tile).astype(jnp.float32)
-        pix_row = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 0)
-        px = base_x + (pix_row % tile).astype(jnp.float32)
-        py = base_y + (pix_row // tile).astype(jnp.float32)
+        if scan_impl == "pad":
+            # Pixel coords as [PIX,1] columns — the broadcast to [PIX,K]
+            # happens inside the consuming subtract instead of materializing
+            # iota/mod/add at full size.
+            pc = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+            px = base_x + (pc % tile).astype(jnp.float32)
+            py = base_y + (pc // tile).astype(jnp.float32)
+        else:
+            pix_row = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 0)
+            px = base_x + (pix_row % tile).astype(jnp.float32)
+            py = base_y + (pix_row // tile).astype(jnp.float32)
         dx = g[0:1, :] - px
         dy = g[1:2, :] - py
         power = -0.5 * (g[2:3, :] * dx * dx + g[4:5, :] * dy * dy) - g[3:4, :] * dx * dy
         alpha = jnp.minimum(0.99, g[5:6, :] * jnp.exp(power))
-        k_iota = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 1)
         # No in-count gate needed (unlike pallas_composite._kernel, whose
         # clamped gather duplicates row 0 into empty lanes): lanes beyond
         # the tile's queue — and window-overflow drops — carry
@@ -145,11 +152,28 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
         a = jnp.where(gate, alpha, 0.0)
         om = 1.0 - a
         # exclusive prefix product (see pallas_composite._kernel)
-        inc = jnp.where(k_iota >= 1, pltpu.roll(om, 1, 1), 1.0)
-        sh = 1
-        while sh < K:
-            inc = inc * jnp.where(k_iota >= sh, pltpu.roll(inc, sh, 1), 1.0)
-            sh *= 2
+        if scan_impl == "pad":
+            # Shift-fill-1 Hillis-Steele: each step reads the sh-right-shifted
+            # product through a static concat slice (out-of-range lanes take
+            # 1.0 from the pad), dropping the per-step lane-iota mask and the
+            # cyclic roll of the "roll" impl.
+            ones_pad = jnp.ones((PIX, max(K // 2, 1)), jnp.float32)
+            p = om
+            sh = 1
+            while sh < K:
+                shifted = jnp.concatenate(
+                    [ones_pad[:, :sh], p[:, :K - sh]], axis=1
+                )
+                p = p * shifted
+                sh *= 2
+            inc = jnp.concatenate([ones_pad[:, :1], p[:, :K - 1]], axis=1)
+        else:
+            k_iota = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 1)
+            inc = jnp.where(k_iota >= 1, pltpu.roll(om, 1, 1), 1.0)
+            sh = 1
+            while sh < K:
+                inc = inc * jnp.where(k_iota >= sh, pltpu.roll(inc, sh, 1), 1.0)
+                sh *= 2
         T_exc = t_s[...] * inc
         m = gate & (T_exc * om >= t_min)
         w = jnp.where(m, a * T_exc, 0.0)
@@ -423,7 +447,8 @@ def composite_windowed_bwd(
 @functools.partial(
     jax.jit,
     static_argnames=("n_feat", "tile", "tiles_x", "alpha_min", "t_min",
-                     "chunk", "n_span", "w_blocks", "interpret", "bf16_obj"),
+                     "chunk", "n_span", "w_blocks", "interpret", "bf16_obj",
+                     "scan_impl"),
 )
 def composite_windowed(
     gb: jax.Array,      # [NB_total, CH, 128] anchor-sorted blocked row store
@@ -442,6 +467,7 @@ def composite_windowed(
     w_blocks: int = 12,
     interpret: bool = False,
     bf16_obj: bool = False,
+    scan_impl: str = "roll",
     tile_offset=None,  # global id of local tile 0 (shard_map slices)
 ):
     """Returns (accum [NT, PIX, n_feat], T_final [NT, PIX])."""
@@ -461,6 +487,7 @@ def composite_windowed(
     kern = functools.partial(
         _kernel, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min, t_min=t_min,
         chunk=K, n_span=n_span, w_blocks=w_blocks, bf16_obj=bf16_obj,
+        scan_impl=scan_impl,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,

@@ -97,3 +97,24 @@ def test_sh_to_color_clamps(rng):
     raw = shlib.C0 * sh[..., 0] + 0.5
     np.testing.assert_allclose(np.asarray(rgb), np.maximum(raw, 0.0), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(clamped), raw < 0)
+
+
+def test_camera_to_json_roundtrip():
+    """`camera_to_JSON` parity (`utils/camera_utils.py:66-88`): position is the
+    camera center, rotation the cam->world matrix, focals from fovs."""
+    import json
+
+    from sags_tpu.core.camera import camera_to_json, fov2focal, make_camera
+
+    th = 0.3
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0],
+                  [0, 0, 1]], np.float32)
+    t = np.array([1.0, 2.0, 3.0], np.float32)
+    cam = make_camera(R, t, 640, 480, 1.0, 0.8)
+    e = json.loads(json.dumps(camera_to_json(7, cam, "frame7")))
+    assert e["id"] == 7 and e["img_name"] == "frame7"
+    np.testing.assert_allclose(e["position"], t, atol=1e-6)
+    np.testing.assert_allclose(e["rotation"], R, atol=1e-6)
+    np.testing.assert_allclose(e["fx"], fov2focal(1.0, 640))
+    np.testing.assert_allclose(e["fy"], fov2focal(0.8, 480))

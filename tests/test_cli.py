@@ -59,6 +59,21 @@ def test_run_gicp_synthetic():
 
 
 @pytest.mark.slow
+def test_run_gicp_map_mode():
+    """Scan-to-keyframe-map odometry (`using_previous_30_*.py`): every scan
+    aligns against the accumulated world-registered keyframe stack."""
+    out = run_cli(
+        "run-gicp", "--dataset", "synthetic", "--frames", "4",
+        "--width", "64", "--height", "48", "--mode", "map",
+        "--keyframe-every", "2",
+    )
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["frames"] == 4 and res["mode"] == "map"
+    assert np.isfinite(res["ate_rmse"])
+    assert res["ate_rmse"] < 0.5
+
+
+@pytest.mark.slow
 def test_run_slam_checkpoint_resume(tmp_path):
     ckpt = tmp_path / "state.ckpt"
     run_cli(

@@ -328,6 +328,14 @@ def test_windowed_interpret_matches_xla_cpu():
     np.testing.assert_allclose(np.asarray(ow.color), np.asarray(ox.color),
                                atol=1e-5)
 
+    # scan_impl="pad" (shift-fill-1 static-slice scan) is bit-exact vs "roll"
+    cfg_pad = dataclasses.replace(cfg, scan_impl="pad")
+    op = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg_pad, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    np.testing.assert_array_equal(np.asarray(op.color), np.asarray(ow.color))
+    np.testing.assert_array_equal(np.asarray(op.final_T), np.asarray(ow.final_T))
+
     def make_loss(windowed, fused):
         def loss(m):
             r = rz.rasterize(m, A[1], A[2], A[3], cam, cfg, colors=A[4],
