@@ -47,7 +47,11 @@ class RasterizeConfig:
     # actual length (see ops/pallas_windowed.py). Overflow is surfaced and
     # pipeline-adapted.
     windowed: bool = True
-    window_blocks: int = 16
+    # 14 won an interleaved 16/14/12 sweep at the 720p bench point
+    # (medians 32.2/31.5/31.2 ms): 12 is fastest but its ~2.5k dropped
+    # pairs exceed the 0.1% adaptation threshold (recompile churn), 14's
+    # ~180 are well under it. Overflow is counted and pipeline-adapted.
+    window_blocks: int = 14
     # Fractions of P reserved for the MID (rect == 3: the 5 extra 3×3-ring
     # offsets) and BIG (rect > 3: all RxR−4 extra offsets) tiers of the
     # windowed pair expansion; everyone gets the 2×2 tier. Saturation of

@@ -32,6 +32,7 @@ class ColmapView(NamedTuple):
     camera: Camera
     image: Optional[np.ndarray]  # [3,H,W] float32 in [0,1]; None if missing
     name: str
+    depth: Optional[np.ndarray] = None  # [H,W] float32 meters; None if missing
 
 
 class ColmapScene(NamedTuple):
@@ -60,6 +61,66 @@ def _load_image(path: str, width: int, height: int) -> Optional[np.ndarray]:
     return arr.transpose(2, 0, 1)
 
 
+def read_depth_bin(path: str, normalized_const: float = 1.0) -> np.ndarray:
+    """Depth maps in the reference's `.bin` format (`read_depth_normalized`,
+    `scene/dataset_readers.py:28-45`): an ASCII header `W&H&C&` followed by
+    raw float32 data in Fortran order [W,H,C]. Returns [H,W] float32 (the
+    reference transposes to (H,W,C) and squeezes)."""
+    with open(path, "rb") as fid:
+        header = b""
+        ampersands = 0
+        while ampersands < 3:
+            byte = fid.read(1)
+            if not byte:
+                raise ValueError(f"truncated depth .bin header in {path}")
+            header += byte
+            if byte == b"&":
+                ampersands += 1
+        width, height, channels = (int(x) for x in header.split(b"&")[:3])
+        array = np.fromfile(fid, np.float32)
+    array = array.reshape((width, height, channels), order="F")
+    return np.ascontiguousarray(
+        np.transpose(array, (1, 0, 2)).squeeze(-1) / normalized_const
+    )
+
+
+def write_depth_bin(path: str, depth: np.ndarray) -> None:
+    """Inverse of `read_depth_bin` (fixture/export helper): [H,W] float32 →
+    `W&H&1&` header + Fortran-order payload."""
+    d = np.asarray(depth, np.float32)
+    H, W = d.shape
+    with open(path, "wb") as fid:
+        fid.write(f"{W}&{H}&1&".encode())
+        np.transpose(d[..., None], (1, 0, 2)).flatten(order="F").tofile(fid)
+
+
+def _load_depth(depth_dir: str, image_name: str, width: int, height: int):
+    """Reference lookup order: `<depth_images>/<stem>.bin` (&-header format,
+    `readColmapCameras`, `dataset_readers.py:176-182`) then `<stem>.png`
+    (SLAM layout, `readSLAMCameras`, `:221-227`). Missing → None, as in the
+    reference's try/except."""
+    stem = os.path.basename(image_name).split(".")[0]
+    bin_path = os.path.join(depth_dir, stem + ".bin")
+    if os.path.exists(bin_path):
+        d = read_depth_bin(bin_path)
+    else:
+        png_path = os.path.join(depth_dir, stem + ".png")
+        if not os.path.exists(png_path):
+            return None
+        try:
+            import imageio.v2 as imageio
+        except ImportError:
+            return None
+        d = np.asarray(imageio.imread(png_path), np.float32)
+    if d.shape != (height, width):
+        # nearest-neighbour resize to the policy resolution (reference
+        # resizes depth with the image in `loadCam`, `camera_utils.py:43`)
+        ys = (np.arange(height) * d.shape[0] / height).astype(np.int64)
+        xs = (np.arange(width) * d.shape[1] / width).astype(np.int64)
+        d = d[ys[:, None], xs[None, :]]
+    return d.astype(np.float32)
+
+
 def nerfpp_norm(centers: np.ndarray) -> Tuple[float, np.ndarray]:
     """`getNerfppNorm`: radius = 1.1 × max distance to the mean center."""
     avg = centers.mean(axis=0)
@@ -73,6 +134,7 @@ def load_colmap_scene(
     resolution: int = -1,
     llffhold: int = 8,
     eval_split: bool = False,
+    depth_dir: Optional[str] = None,
 ) -> ColmapScene:
     """Assemble the COLMAP model at `model_dir` (auto bin/text; accepts the
     standard layout `<root>/sparse/0` or a direct model dir)."""
@@ -86,6 +148,8 @@ def load_colmap_scene(
             break
     if images_dir is None:
         images_dir = os.path.join(model_dir, "images")
+    if depth_dir is None:
+        depth_dir = os.path.join(model_dir, "depth_images")
 
     cams, imgs, xyz, rgb = load_colmap_model(sparse)
 
@@ -115,7 +179,13 @@ def load_colmap_scene(
         img = _load_image(
             os.path.join(images_dir, os.path.basename(extr.name)), W, H
         )
-        views.append(ColmapView(camera=cam, image=img, name=extr.name))
+        depth = (
+            _load_depth(depth_dir, extr.name, W, H)
+            if os.path.isdir(depth_dir) else None
+        )
+        views.append(
+            ColmapView(camera=cam, image=img, name=extr.name, depth=depth)
+        )
 
     radius, translate = nerfpp_norm(np.stack(centers))
     if eval_split:

@@ -103,6 +103,49 @@ def test_load_colmap_scene(colmap_fixture):
     assert err < 1e-3, err
 
 
+def test_depth_bin_roundtrip(tmp_path):
+    """`read_depth_bin` parses the reference's `W&H&C&`-header Fortran-order
+    float32 format exactly (`read_depth_normalized`,
+    `scene/dataset_readers.py:28-45`), including non-square shapes."""
+    from sags_tpu.io.colmap_scene import read_depth_bin, write_depth_bin
+
+    rng = np.random.default_rng(3)
+    d = rng.uniform(0.1, 9.0, (48, 64)).astype(np.float32)
+    path = str(tmp_path / "view0.bin")
+    write_depth_bin(path, d)
+    # byte-level check of the header the reference's parser expects
+    with open(path, "rb") as f:
+        assert f.read(8) == b"64&48&1&"
+    back = read_depth_bin(path)
+    assert back.shape == (48, 64)
+    np.testing.assert_array_equal(back, d)
+    # normalized_const divides through, as in the reference
+    np.testing.assert_allclose(read_depth_bin(path, 2.0), d / 2.0, rtol=1e-6)
+
+
+def test_scene_loads_depth_images(colmap_fixture):
+    """`load_colmap_scene` picks up `depth_images/<stem>.bin` per view
+    (`readColmapCameras` depth path, `dataset_readers.py:176-182`); views
+    without a depth file get None (the reference's try/except)."""
+    from sags_tpu.io.colmap_scene import write_depth_bin
+
+    root, _, _ = colmap_fixture
+    ddir = os.path.join(root, "depth_images")
+    os.makedirs(ddir, exist_ok=True)
+    rng = np.random.default_rng(5)
+    d0 = rng.uniform(0.5, 5.0, (48, 64)).astype(np.float32)
+    write_depth_bin(os.path.join(ddir, "view0.bin"), d0)
+    try:
+        scene = load_colmap_scene(root)
+        by_name = {v.name: v for v in scene.train_views}
+        assert by_name["view0.npy"].depth is not None
+        np.testing.assert_array_equal(by_name["view0.npy"].depth, d0)
+        assert by_name["view1.npy"].depth is None
+    finally:
+        os.remove(os.path.join(ddir, "view0.bin"))
+        os.rmdir(ddir)
+
+
 def test_eval_split(colmap_fixture):
     root, _, _ = colmap_fixture
     scene = load_colmap_scene(root, eval_split=True, llffhold=2)
