@@ -34,6 +34,15 @@ def _load_dataset(args):
         return list(D.TUMDataset(args.path))
     if args.dataset == "replica":
         return list(D.ReplicaDataset(args.path))
+    if args.dataset == "kitti":
+        # KITTI odometry velodyne scans (`src/kitti.cpp` KittiLoader)
+        return list(D.KITTIOdometryDataset(
+            args.path,
+            poses_file=getattr(args, "poses", ""),
+            times_file=getattr(args, "times", ""),
+            calib_file=getattr(args, "calib", ""),
+            max_points=getattr(args, "max_points", 0),
+        ))
     if args.dataset == "rosbag":
         # ROS1 bag replay of the node's three topics (io/rosbag.py) —
         # a generator, staged frame-by-frame like the socket source
@@ -66,7 +75,16 @@ def cmd_run_slam(args):
     from sags_tpu.slam.pipeline import SLAMPipeline
     from sags_tpu.utils.traj import ate_rmse
 
-    cfg = preset(args.preset) if args.preset else SLAMConfig()
+    resumed_state = None
+    if args.resume:
+        # cfg_args parity (`arguments/__init__.py:100-120`): a resumed run
+        # adopts the persisted config; explicit CLI flags still override.
+        from sags_tpu.slam.checkpoint import load_state
+
+        resumed_state, cfg = load_state(args.resume)
+        print(f"resumed state+config from {args.resume}", file=sys.stderr)
+    else:
+        cfg = preset(args.preset) if args.preset else SLAMConfig()
     cfg = cfg.replace(
         tracking=cfg.tracking.__class__(backend=args.tracking),
         post_train_iters=args.post_train,
@@ -88,11 +106,8 @@ def cmd_run_slam(args):
         else:  # SAM with the shipped synthetic-trained weights when present
             mask_gen = MaskGenerator(num_classes=cfg.semantics.num_classes)
     pipe = SLAMPipeline(cfg, mask_generator=mask_gen, point_budget=args.point_budget)
-    if args.resume:
-        from sags_tpu.slam.checkpoint import load_state
-
-        pipe.state, _ = load_state(args.resume)
-        print(f"resumed state from {args.resume}", file=sys.stderr)
+    if resumed_state is not None:
+        pipe.state = resumed_state
     t0 = time.perf_counter()
     res = pipe.run(frames)
     dt = time.perf_counter() - t0
@@ -117,6 +132,17 @@ def cmd_run_slam(args):
             }
         )
     )
+    if args.traj_out:
+        from sags_tpu.utils.traj import save_tum_trajectory
+
+        save_tum_trajectory(args.traj_out, res.poses_est)
+        print(f"wrote trajectory (TUM format) to {args.traj_out}",
+              file=sys.stderr)
+    if args.traj_plot:
+        from sags_tpu.utils.traj import plot_trajectory
+
+        if plot_trajectory(args.traj_plot, res.poses_est, res.poses_gt):
+            print(f"wrote trajectory plot to {args.traj_plot}", file=sys.stderr)
     if args.save:
         save_map_ply(args.save, compact(res.state.map))
         print(f"saved map to {args.save}", file=sys.stderr)
@@ -154,6 +180,7 @@ def cmd_train(args):
 
 
 def cmd_run_gicp(args):
+    from sags_tpu.ops import registration as R
     from sags_tpu.ops.registration import FastGICP, FastVGICP
     from sags_tpu.utils.traj import ate_rmse
 
@@ -161,15 +188,25 @@ def cmd_run_gicp(args):
     reg = (FastVGICP if args.method == "vgicp" else FastGICP)()
     poses = [np.eye(4)]
     times = []
+    # KITTI scans are already sensor-frame; other datasets store world-frame
+    # points and the raw scan is reconstructed through the GT pose.
+    raw_sensor = args.dataset == "kitti"
+    has_gt = not raw_sensor or bool(getattr(args, "poses", ""))
+
+    def sensor_frame(f):
+        pts = np.asarray(f.points)
+        if not raw_sensor:
+            T = np.asarray(f.pose)
+            pts = (pts - T[:3, 3]) @ T[:3, :3]
+        if args.downsample > 0:  # `kitti.cpp:80-98` voxel-grid prefilter
+            pts = R.downsample(pts, args.downsample)
+        return pts
+
     if args.mode == "map":
         # Scan-to-keyframe-map odometry (`python_tester/using_previous_30_*.py`
         # :178-213): every Nth scan is registered into a world-frame keyframe
         # stack that becomes the target; each raw scan aligns against it with
         # the previous world pose as the initial guess.
-        def sensor_frame(f):
-            T = np.asarray(f.pose)
-            return (np.asarray(f.points) - T[:3, 3]) @ T[:3, :3]
-
         h0 = sensor_frame(frames[0])  # poses[0] = I: world frame := frame 0
         kf_stack = [h0]
         reg.set_input_target(h0)
@@ -184,20 +221,23 @@ def cmd_run_gicp(args):
                 kf_stack.append(pts @ pose[:3, :3].T + pose[:3, 3])
                 reg.set_input_target(np.vstack(kf_stack))
     else:
+        # Scan-to-scan with target←source carry-over — the reference KITTI
+        # loop's `swapSourceAndTarget` (`src/kitti.cpp:116-130`).
+        sp = sensor_frame(frames[0])
+        reg.set_input_target(sp)
         for i in range(1, len(frames)):
-            prev, curr = frames[i - 1], frames[i]
-            Tp = np.asarray(prev.pose)
-            Tc = np.asarray(curr.pose)
-            sp = (prev.points - Tp[:3, 3]) @ Tp[:3, :3]
-            sc = (curr.points - Tc[:3, 3]) @ Tc[:3, :3]
-            reg.set_input_target(sp)
+            sc = sensor_frame(frames[i])
             reg.set_input_source(sc)
             t0 = time.perf_counter()
             delta = reg.align(np.eye(4))
             times.append(time.perf_counter() - t0)
             poses.append(poses[-1] @ delta)
-    gt = np.stack([np.asarray(f.pose) for f in frames])
-    ate, _ = ate_rmse(np.stack(poses), gt)
+            reg.set_input_target(sc)
+    poses = np.stack(poses)
+    ate = None
+    if has_gt:
+        gt = np.stack([np.asarray(f.pose) for f in frames])
+        ate, _ = ate_rmse(poses, gt)
     print(
         json.dumps(
             {
@@ -210,6 +250,18 @@ def cmd_run_gicp(args):
             }
         )
     )
+    if args.out_poses:
+        from sags_tpu.utils.traj import save_kitti_trajectory
+
+        save_kitti_trajectory(args.out_poses, poses)
+        print(f"wrote poses (KITTI format) to {args.out_poses}",
+              file=sys.stderr)
+    if args.traj_plot:
+        from sags_tpu.utils.traj import plot_trajectory
+
+        gt = np.stack([np.asarray(f.pose) for f in frames]) if has_gt else None
+        if plot_trajectory(args.traj_plot, poses, gt):
+            print(f"wrote trajectory plot to {args.traj_plot}", file=sys.stderr)
 
 
 def _load_points(path: str) -> np.ndarray:
@@ -360,12 +412,12 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="sags-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    def add_dataset_args(sp, live=False):
+    def add_dataset_args(sp, live=False, kitti=False):
         # "socket"/"rosbag" (consumed-once generators) only make sense for
         # the online SLAM loop; train/run-gicp/eval index a materialized list
         choices = ["synthetic", "tum", "replica"] + (
             ["socket", "rosbag"] if live else []
-        )
+        ) + (["kitti"] if kitti else [])
         sp.add_argument("--dataset", default="synthetic", choices=choices)
         sp.add_argument("--path", default="")
         sp.add_argument("--frames", type=int, default=20)
@@ -376,6 +428,14 @@ def main(argv=None):
             sp.add_argument("--cloud-topic", default="/cloud_registered")
             sp.add_argument("--odom-topic", default="/aft_mapped_to_init")
             sp.add_argument("--imu-topic", default="")
+        if kitti:
+            sp.add_argument("--poses", default="",
+                            help="KITTI GT poses.txt (12 floats/line) for ATE")
+            sp.add_argument("--times", default="", help="KITTI times.txt")
+            sp.add_argument("--calib", default="",
+                            help="KITTI calib.txt with a Tr: velo→cam0 line")
+            sp.add_argument("--max-points", type=int, default=0,
+                            help="subsample each scan to at most N points")
 
     sp = sub.add_parser("run-slam")
     add_dataset_args(sp, live=True)
@@ -394,7 +454,12 @@ def main(argv=None):
     sp.add_argument("--checkpoint", default="",
                     help="save the full SLAM state (map + Adam + PRNG) here")
     sp.add_argument("--resume", default="",
-                    help="restore a --checkpoint state before running")
+                    help="restore a --checkpoint state (and its config) "
+                         "before running")
+    sp.add_argument("--traj-out", default="",
+                    help="write the estimated trajectory (TUM format)")
+    sp.add_argument("--traj-plot", default="",
+                    help="write a top-down est-vs-gt trajectory PNG")
     sp.set_defaults(fn=cmd_run_slam)
 
     sp = sub.add_parser("train")
@@ -405,12 +470,20 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("run-gicp")
-    add_dataset_args(sp)
+    add_dataset_args(sp, kitti=True)
     sp.add_argument("--method", default="gicp", choices=["gicp", "vgicp"])
     sp.add_argument("--mode", default="scan", choices=["scan", "map"],
-                    help="scan: scan-to-scan deltas (gicp_odometry2.py); "
-                         "map: scan-to-keyframe-map (using_previous_30_*.py)")
+                    help="scan: scan-to-scan deltas (gicp_odometry2.py / "
+                         "kitti.cpp); map: scan-to-keyframe-map "
+                         "(using_previous_30_*.py)")
     sp.add_argument("--keyframe-every", type=int, default=30)
+    sp.add_argument("--downsample", type=float, default=0.0,
+                    help="voxel-grid leaf size in m (kitti.cpp uses 0.25)")
+    sp.add_argument("--out-poses", default="",
+                    help="write estimated poses in KITTI 3x4 format "
+                         "(the reference harness's /tmp/traj.txt)")
+    sp.add_argument("--traj-plot", default="",
+                    help="write a top-down est-vs-gt trajectory PNG")
     sp.set_defaults(fn=cmd_run_gicp)
 
     sp = sub.add_parser("render")

@@ -421,3 +421,91 @@ class SyntheticDataset:
         return (self.pose(i + h)[:3, 3] - self.pose(i - h)[:3, 3]) / (
             2 * h * self.frame_dt
         )
+
+
+class KITTIOdometryDataset:
+    """KITTI odometry velodyne sequence — the `KittiLoader` of the reference
+    benchmark harness (`submodules/fast_gicp/src/kitti.cpp:22-68`).
+
+    Scans are `%06d.bin` float32 (x, y, z, intensity) files counted up from
+    000000.bin, exactly like the reference loader. Points stay in the SENSOR
+    frame (odometry estimates the trajectory; there is no world registration
+    to undo). Optional sidecars:
+
+    - ``times_file`` (`times.txt`): per-scan timestamps (else scan index).
+    - ``poses_file`` (odometry GT, 12 floats/line = the top 3×4 of T_w_cam0):
+      ground-truth poses for ATE. GT lives in the cam0 frame; when
+      ``calib_file`` (with a `Tr:` velo→cam0 line) is given, poses are mapped
+      into the velodyne frame as ``Tr⁻¹ · T_w_cam0 · Tr``.
+    """
+
+    def __init__(self, velodyne_dir: str, poses_file: str = "",
+                 times_file: str = "", calib_file: str = "",
+                 max_points: int = 0):
+        self.dir = velodyne_dir
+        self.max_points = max_points
+        self.files: List[str] = []
+        i = 0
+        while True:  # reference contract: count %06d.bin from 0 until a gap
+            f = os.path.join(velodyne_dir, f"{i:06d}.bin")
+            if not os.path.exists(f):
+                break
+            self.files.append(f)
+            i += 1
+        if not self.files:
+            raise FileNotFoundError(f"no %06d.bin scans in {velodyne_dir}")
+
+        self.times = None
+        if times_file:
+            self.times = np.loadtxt(times_file, dtype=np.float64).reshape(-1)
+
+        self.has_gt = False
+        self.poses = None
+        if poses_file:
+            rows = np.loadtxt(poses_file, dtype=np.float64).reshape(-1, 12)
+            T = np.tile(np.eye(4), (len(rows), 1, 1))
+            T[:, :3, :4] = rows.reshape(-1, 3, 4)
+            if calib_file:
+                Tr = self._read_calib_tr(calib_file)
+                T = np.linalg.inv(Tr)[None] @ T @ Tr[None]
+            self.poses = T.astype(np.float32)
+            self.has_gt = True
+
+    @staticmethod
+    def _read_calib_tr(calib_file: str) -> np.ndarray:
+        Tr = np.eye(4)
+        with open(calib_file) as f:
+            for line in f:
+                if line.startswith("Tr:") or line.startswith("Tr "):
+                    vals = np.array(line.split(":", 1)[1].split(), np.float64)
+                    Tr[:3, :4] = vals.reshape(3, 4)
+                    break
+        return Tr
+
+    def scan(self, i: int) -> np.ndarray:
+        """[N,3] float32 sensor-frame points of scan i (intensity dropped,
+        `kitti.cpp:40-65`)."""
+        raw = np.fromfile(self.files[i], dtype=np.float32)
+        pts = raw.reshape(-1, 4)[:, :3]
+        pts = pts[np.isfinite(pts).all(axis=1)]
+        if self.max_points and len(pts) > self.max_points:
+            step = len(pts) / self.max_points
+            pts = pts[(np.arange(self.max_points) * step).astype(np.int64)]
+        return np.ascontiguousarray(pts)
+
+    def __len__(self):
+        return len(self.files)
+
+    def __iter__(self) -> Iterator[Frame]:
+        for i in range(len(self.files)):
+            pts = self.scan(i)
+            pose = (self.poses[i] if self.poses is not None
+                    else np.eye(4, dtype=np.float32))
+            ts = float(self.times[i]) if self.times is not None else float(i)
+            yield Frame(
+                image=np.zeros((3, 1, 1), np.float32),  # LiDAR-only sequence
+                points=pts,
+                colors=np.zeros_like(pts),
+                pose=pose,
+                timestamp=ts,
+            )
