@@ -17,6 +17,17 @@ if not _use_tpu:
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+# Persistent compilation cache: the CLI smoke tests spawn subprocesses that
+# would each recompile the full SLAM step from scratch (minutes on a 1-CPU
+# box). Env vars (not config calls) so child processes inherit it.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import jax  # noqa: E402
 
 # The axon sitecustomize imports jax at interpreter startup with

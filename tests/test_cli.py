@@ -1,19 +1,27 @@
 """CLI smoke tests — drive the entry points as a user would."""
 
 import json
+import os
 import subprocess
 import sys
 
 import numpy as np
 import pytest
 
+# Clean env for subprocesses, plus the persistent-compile-cache knobs from
+# conftest so repeated CLI spawns don't recompile the SLAM step from scratch.
+CLI_ENV = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": "/root/repo", "HOME": "/root"}
+CLI_ENV.update({k: v for k, v in os.environ.items()
+                if k.startswith(("JAX_COMPILATION_CACHE",
+                                 "JAX_PERSISTENT_CACHE"))})
+
 
 def run_cli(*args, timeout=420):
     out = subprocess.run(
         [sys.executable, "-m", "sags_tpu.cli.main", *args],
         capture_output=True, text=True, timeout=timeout, cwd="/root/repo",
-        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
-             "PYTHONPATH": "/root/repo", "HOME": "/root"},
+        env=CLI_ENV,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     return out
@@ -126,8 +134,7 @@ def test_serve_and_run_slam_two_processes(tmp_path):
          "--dataset", "synthetic", "--frames", "2",
          "--width", "48", "--height", "36", "--port", "7213"],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd="/root/repo",
-        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
-             "PYTHONPATH": "/root/repo", "HOME": "/root"},
+        env=CLI_ENV,
     )
     try:
         out = run_cli(
