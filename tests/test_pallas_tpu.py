@@ -42,10 +42,14 @@ CFG = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=512, chunk=64)
 
 
 def test_fused_forward_matches_xla():
+    """Classic fused compositor vs the XLA scan on the same binned table.
+    `windowed=False` pins the classic path: this scene is far beyond the
+    windowed tier budgets (its overflow-counted coverage drops are the
+    *point* of the adaptation machinery, not a parity target)."""
     A, cam, _ = scene()
     out_p = jax.jit(lambda *a: rz.rasterize(
         a[0], a[1], a[2], a[3], cam, CFG, colors=a[4], obj_features=a[5],
-        fused=True))(*A)
+        fused=True, windowed=False))(*A)
     out_x = jax.jit(lambda *a: rz.rasterize(
         a[0], a[1], a[2], a[3], cam, CFG, colors=a[4], obj_features=a[5],
         fused=False))(*A)
@@ -65,7 +69,7 @@ def test_fused_backward_matches_xla():
     def make_loss(cfg, fused):
         def loss(m, o, s, q, c, ob):
             r = rz.rasterize(m, o, s, q, cam, cfg, colors=c, obj_features=ob,
-                             fused=fused)
+                             fused=fused, windowed=False)
             return (jnp.sum((r.color - tgt) ** 2) + 1e-3 * jnp.sum(r.depth ** 2)
                     + 1e-2 * jnp.sum(r.objects ** 2) + jnp.sum(r.final_T ** 2))
         return loss
@@ -88,7 +92,7 @@ def test_fused_forward_tile8_matches_xla():
     cfg8 = dataclasses.replace(CFG, tile=8)
     out_p = jax.jit(lambda *a: rz.rasterize(
         a[0], a[1], a[2], a[3], cam, cfg8, colors=a[4], obj_features=a[5],
-        fused=True))(*A)
+        fused=True, windowed=False))(*A)
     out_x = jax.jit(lambda *a: rz.rasterize(
         a[0], a[1], a[2], a[3], cam, cfg8, colors=a[4], obj_features=a[5],
         fused=False))(*A)
@@ -148,6 +152,20 @@ def test_windowed_backward_matches_xla():
         assert rel < 2e-3, (name, rel)
         cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
         assert cos > 0.9999, (name, cos)
+
+
+def test_windowed_overbudget_counts_drops():
+    """Honesty contract: when a scene exceeds the windowed budgets (the
+    dense classic-test scene: ~620 pairs/tile vs tile_capacity 512), the
+    coverage drops MUST surface in the overflow counters — the pipeline's
+    adaptation machinery keys on them (`SLAMPipeline._maybe_grow_capacity`)."""
+    A, cam, _ = scene()
+    out = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, CFG, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    dropped = (int(out.overflow_tile) + int(out.overflow_window)
+               + int(out.overflow_big))
+    assert dropped > 0, "over-budget scene must report dropped pairs"
 
 
 def test_windowed_tiny_scene_renders():
