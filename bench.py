@@ -150,6 +150,12 @@ def main():
     cfg = RasterizeConfig(
         max_tiles_per_gaussian=16, tile_capacity=tile_capacity, chunk=chunk,
         remat=False,
+        # SAGS_BENCH_EXACT=1 → store-tier FULL-coverage rendering (every
+        # alpha-live pair composited, reference-exact; ~45% slower at this
+        # operating point — see docs/PERFORMANCE.md "Store tier").
+        windowed_big_capacity=(
+            256 if os.environ.get("SAGS_BENCH_EXACT", "") == "1" else 0
+        ),
     )
 
     args = tuple(jnp.asarray(a) for a in (means, opac, scales, quats, colors, objs))

@@ -70,6 +70,28 @@ class RasterizeConfig:
     # "pad" = static shift-fill-1 concat slices (no masks) + [PIX,1] pixel
     # coords. Numerically identical; a perf A/B knob.
     scan_impl: str = "roll"
+    # Store tier — FULL-coverage windowed rendering for big-rect Gaussians.
+    # The span window fundamentally caps coverage at the R×R binning window
+    # (R = √max_tiles_per_gaussian); Gaussians with a larger screen rect
+    # lose their outer (still alpha-live) tiles there. With
+    # `windowed_big_capacity` > 0 (multiple of 128), rect > R Gaussians
+    # instead expand through wide static offset sub-tiers into the same
+    # depth-sorted table (payload-tagged), a second small sort builds a
+    # per-tile depth-ordered big list of up to `windowed_big_capacity`
+    # pairs whose packed rows are gathered once ([NT, K_BIG] rows), and the
+    # kernel selects those lanes from the streamed block — coverage becomes
+    # exact for rect ≤ `windowed_store_max_rect`. Costs one row gather +
+    # one extra sort (~25-35% render time at the 720p bench point); 0 keeps
+    # the fast tiered mode (drops counted in overflow_rect/overflow_big and
+    # pipeline-adapted to this knob).
+    windowed_big_capacity: int = 0
+    windowed_store_max_rect: int = 16
+    # Store sub-tiers: (max_rect_side, fraction of P buffered). A rect>R
+    # Gaussian lands in the first sub-tier whose side covers it; buffer
+    # saturation falls back to the classic (windowed, R×R-capped) tiers and
+    # is counted in overflow_big.
+    windowed_store_fracs: tuple = ((6, 0.05), (8, 0.02), (12, 0.008),
+                                   (16, 0.002))
 
 
 @dataclass(frozen=True)

@@ -54,11 +54,21 @@ COL_DQ = 36
 COL_RCULL2 = 37  # exact alpha-cull radius² (rasterize.preprocess)
 WIDE_CH = 40
 
+# table_local ids >= BIG_BASE address the per-tile big-pair candidate block
+# (depth-ordered rows of store-tier Gaussians, pre-gathered host-side) instead
+# of the span window: lane i selects big block (id-BIG_BASE)//128, column
+# (id-BIG_BASE)%128. Window ids stay < w_blocks*128, so w_blocks < 64.
+BIG_BASE = 8192
+
 
 def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
-            gb_ref, acc_out, t_out, cand, gsel, acc_s, t_s, sems, *, tile,
-            tiles_x, alpha_min, t_min, chunk, n_span, w_blocks,
-            bf16_obj=False, scan_impl="roll"):
+            gb_ref, *rest, tile, tiles_x, alpha_min, t_min, chunk, n_span,
+            w_blocks, n_big_blocks=0, bf16_obj=False, scan_impl="roll"):
+    if n_big_blocks:
+        big_ref, acc_out, t_out, cand, gsel, acc_s, t_s, sems = rest
+    else:
+        big_ref = None
+        acc_out, t_out, cand, gsel, acc_s, t_s, sems = rest
     t = pl.program_id(0)
     tg = t + toff_ref[0]  # GLOBAL tile id (pixel coords) — under shard_map
     # each device holds a contiguous tile slice; toff maps local → global.
@@ -123,6 +133,18 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
             for b in range(w_blocks):
                 g_b = jnp.take_along_axis(cand[b], idxmod, axis=1)
                 sel = jnp.where((hi == b)[None, :], g_b, sel)
+            if n_big_blocks:
+                # store-tier lanes: ids >= BIG_BASE select from the per-tile
+                # depth-ordered big candidate block (streamed VMEM input;
+                # big ids never match the window chain: hi >= 64 > w_blocks)
+                is_bg = idxb >= BIG_BASE
+                bidx = idxb - BIG_BASE
+                hi_b = bidx // 128
+                lo_b = jnp.where(is_bg, bidx % 128, 0)
+                idxmod_b = jnp.broadcast_to(lo_b[None, :], (CH, 128))
+                for b in range(n_big_blocks):
+                    g_b = jnp.take_along_axis(big_ref[0, b], idxmod_b, axis=1)
+                    sel = jnp.where((is_bg & (hi_b == b))[None, :], g_b, sel)
             gsel[:, pl.ds(kb * 128, 128)] = sel
 
         g = gsel[...]
@@ -469,6 +491,7 @@ def composite_windowed(
     bf16_obj: bool = False,
     scan_impl: str = "roll",
     tile_offset=None,  # global id of local tile 0 (shard_map slices)
+    big: jax.Array | None = None,  # [NT, NBB, CH, 128] per-tile big blocks
 ):
     """Returns (accum [NT, PIX, n_feat], T_final [NT, PIX])."""
     NT = table.shape[0]
@@ -479,6 +502,8 @@ def composite_windowed(
     NC = K_TILE // K
     PIX = tile * tile
     CF = n_feat
+    NBB = 0 if big is None else big.shape[1]
+    assert w_blocks * 128 < BIG_BASE and NBB * 128 < BIG_BASE
 
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
@@ -486,17 +511,25 @@ def composite_windowed(
         tile_offset = jnp.asarray(tile_offset, jnp.int32).reshape(1)
     kern = functools.partial(
         _kernel, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min, t_min=t_min,
-        chunk=K, n_span=n_span, w_blocks=w_blocks, bf16_obj=bf16_obj,
-        scan_impl=scan_impl,
+        chunk=K, n_span=n_span, w_blocks=w_blocks, n_big_blocks=NBB,
+        bf16_obj=bf16_obj, scan_impl=scan_impl,
     )
+    in_specs = [
+        pl.BlockSpec((1, K_TILE // 128, 128), lambda t, c, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    inputs = [table, gb]
+    if NBB:
+        in_specs.append(
+            pl.BlockSpec((1, NBB, CH, 128), lambda t, c, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(big)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(NT, NC),
-        in_specs=[
-            pl.BlockSpec((1, K_TILE // 128, 128), lambda t, c, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, PIX, CF), lambda t, c, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -520,6 +553,5 @@ def composite_windowed(
         ],
         interpret=interpret,
     )(counts.astype(jnp.int32), bases.astype(jnp.int32),
-      dests.astype(jnp.int32), nblks.astype(jnp.int32), tile_offset, table,
-      gb)
+      dests.astype(jnp.int32), nblks.astype(jnp.int32), tile_offset, *inputs)
     return acc, T[..., 0]

@@ -639,10 +639,6 @@ def _prepare_windowed(
 
     rect_w_all = pre.rmax_x - pre.rmin_x
     rect_h_all = pre.rmax_y - pre.rmin_y
-    covered = jnp.minimum(rect_w_all, R) * jnp.minimum(rect_h_all, R)
-    overflow_rect = jnp.sum(
-        jnp.where(pre.valid, rect_w_all * rect_h_all - covered, 0)
-    )
 
     # --- anchor sort: rows grouped by rect-min tile, depth-ordered within ---
     dq = _depth_quant(pre)
@@ -690,11 +686,65 @@ def _prepare_windowed(
             ks.append(jnp.where(ok, (tile_id << 16) | dq, NT << 16))
         return ks
 
+    # --- store tier (full coverage for big rects, cfg.windowed_big_capacity):
+    # rect > R Gaussians expand through wide static offset sub-tiers with
+    # payload P+row (so table lanes are distinguishable); a separate
+    # key/payload stream feeds the per-tile big-table sort below. Stored
+    # Gaussians are EXCLUDED from the span tiers (no double compositing);
+    # buffer-saturated ones fall back to the classic R×R-capped tiers.
+    K_BIG = int(getattr(cfg, "windowed_big_capacity", 0))
+    R_STORE = int(getattr(cfg, "windowed_store_max_rect", 16))
+    use_store = K_BIG > 0 and R_STORE > R
+    stored_mask = jnp.zeros((P,), bool)
+    cover_side = jnp.full((P,), R, jnp.int32)
+    keys, gids = [], []
+    big_keys, big_gids = [], []
+    maxside = jnp.maximum(rectw, recth)
+    if use_store:
+        assert K_BIG % 128 == 0
+        prev_cap = R
+        for cap_t, frac_t in cfg.windowed_store_fracs:
+            if cap_t <= R:
+                continue
+            cap_t = min(cap_t, R_STORE)
+            sel = valid_s & (maxside > prev_cap) & (maxside <= cap_t)
+            prev_cap = cap_t
+            PBUF = min(max(int(P * frac_t) // 128 * 128, 128), P)
+            rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+            fits = sel & (rank < PBUF)
+            stored_mask = stored_mask | fits
+            cover_side = jnp.where(fits, cap_t, cover_side)
+            _, idx = jax.lax.sort(
+                (jnp.where(sel, 0, 1).astype(jnp.int32), iota), num_keys=1
+            )
+            idx = idx[:PBUF]
+            exb = ex[idx]
+            bvalid = (jnp.arange(PBUF) < jnp.minimum(jnp.sum(sel), PBUF))
+            offs_t = [(x, y) for y in range(cap_t) for x in range(cap_t)]
+            ks = tier_keys(
+                offs_t, exb[:, COL_RMIN_X].astype(jnp.int32),
+                exb[:, COL_RMIN_Y].astype(jnp.int32),
+                exb[:, COL_RECT_W].astype(jnp.int32),
+                exb[:, COL_RECT_H].astype(jnp.int32),
+                exb[:, COL_DQ].astype(jnp.int32), bvalid,
+                exb[:, 0], exb[:, 1], exb[:, COL_RCULL2],
+            )
+            keys.extend(ks)
+            gids.extend([idx + P] * len(offs_t))  # payload P+row tags store lanes
+            big_keys.extend(ks)
+            big_gids.extend([idx] * len(offs_t))
+
+    # rect-coverage accounting in SORTED-row space (cover_side is per sorted
+    # row): stored rows are covered to their sub-tier cap, the rest to R.
+    covered = jnp.minimum(rectw, cover_side) * jnp.minimum(recth, cover_side)
+    overflow_rect = jnp.sum(jnp.where(valid_s, rectw * recth - covered, 0))
+
     RA = min(R, 2)
     offs_a = [(x, y) for y in range(RA) for x in range(RA)]
-    keys = tier_keys(offs_a, rminx, rminy, rectw, recth, dq_s, valid_s,
-                     ex[:, 0], ex[:, 1], ex[:, COL_RCULL2])
-    gids = [iota] * len(offs_a)
+    keys.extend(tier_keys(offs_a, rminx, rminy, rectw, recth, dq_s,
+                          valid_s & ~stored_mask,
+                          ex[:, 0], ex[:, 1], ex[:, COL_RCULL2]))
+    gids.extend([iota] * len(offs_a))
 
     # Larger tiers: a MID tier (rect ≤ 3, the 5 extra offsets of the 3×3
     # ring) and a BIG tier (rect > 3, all R×R−4 extra offsets), each
@@ -734,7 +784,7 @@ def _prepare_windowed(
         gids.extend([idx] * len(offs))
 
     if R > 2:
-        beyond2 = valid_s & ((rectw > 2) | (recth > 2))
+        beyond2 = valid_s & ((rectw > 2) | (recth > 2)) & ~stored_mask
         offs_m = [
             (x, y) for y in range(min(R, 3)) for x in range(min(R, 3))
             if not (x < 2 and y < 2)
@@ -743,7 +793,7 @@ def _prepare_windowed(
             is_mid = beyond2 & (rectw <= 3) & (recth <= 3)
             PM = max(int(P * cfg.windowed_mid_frac) // 128 * 128, 128)
             _tier(is_mid, offs_m, PM, 3)
-            is_big = valid_s & ((rectw > 3) | (recth > 3))
+            is_big = valid_s & ((rectw > 3) | (recth > 3)) & ~stored_mask
             PB = max(int(P * cfg.windowed_big_frac) // 128 * 128, 128)
             offs_b = [
                 (x, y) for y in range(R) for x in range(R)
@@ -764,22 +814,44 @@ def _prepare_windowed(
     n_binned = starts[NT]
     counts = jnp.minimum(seg, K)[:NT]
 
-    if jax.default_backend() == "tpu" and K % 128 == 0:
-        from sags_tpu.ops.pallas_binning import fill_table
+    def _fill(ids_sorted, keys_sorted, starts_, cap):
+        if jax.default_backend() == "tpu" and cap % 128 == 0:
+            from sags_tpu.ops.pallas_binning import fill_table
 
-        table = fill_table(idx_s, starts, NT, K)
-    else:
-        tile_s = key_s >> 16
+            return fill_table(ids_sorted, starts_, NT, cap)
+        tile_s = keys_sorted >> 16
         rank = (
             jnp.arange(tile_s.shape[0], dtype=jnp.int32)
-            - starts[jnp.clip(tile_s, 0, NT)]
+            - starts_[jnp.clip(tile_s, 0, NT)]
         )
-        fits = (tile_s < NT) & (rank < K)
+        fits = (tile_s < NT) & (rank < cap)
         row = jnp.where(fits, tile_s, NT)
         col = jnp.where(fits, rank, 0)
-        table = jnp.full((NT + 1, K), -1, jnp.int32)
-        table = table.at[row, col].set(jnp.where(fits, idx_s, -1), mode="drop")
-        table = table[:NT]
+        t = jnp.full((NT + 1, cap), -1, jnp.int32)
+        t = t.at[row, col].set(jnp.where(fits, ids_sorted, -1), mode="drop")
+        return t[:NT]
+
+    table = _fill(idx_s, key_s, starts, K)
+
+    # --- per-tile big table (store tier): the big-only key stream sorts to
+    # the same per-tile depth order as the big-lane subsequence of the main
+    # table (identical keys, identical emission order, stable sorts), so the
+    # main table's big lanes at rank r select exactly big_table[:, r]. ---
+    big_table = None
+    if use_store:
+        bkey = jnp.concatenate([k.reshape(-1) for k in big_keys])
+        bgid = jnp.concatenate([g.reshape(-1) for g in big_gids])
+        bkey_s, bgid_s = jax.lax.sort((bkey, bgid), num_keys=1)
+        starts_b = jnp.searchsorted(
+            bkey_s, jnp.arange(NT + 1, dtype=jnp.int32) << 16
+        ).astype(jnp.int32)
+        big_table = _fill(bgid_s, bkey_s, starts_b, K_BIG)
+        is_big_lane = table >= P
+        bigrank = jnp.cumsum(is_big_lane.astype(jnp.int32), axis=1) - 1
+        fits_big = is_big_lane & (bigrank < K_BIG)
+        table_global = jnp.where(is_big_lane, table - P, table)
+    else:
+        table_global = table
 
     # --- window-local translation + packed span DMA plan ---
     # Spans share one per-tile block budget (cfg.window_blocks total blocks),
@@ -812,19 +884,27 @@ def _prepare_windowed(
         local = jnp.where(m, dest[:, None] * 128 + offs, local)
         matched = matched | m
         dest = dest + nblk
+    if use_store:
+        from sags_tpu.ops.pallas_windowed import BIG_BASE
+
+        local = jnp.where(fits_big, BIG_BASE + bigrank, local)
+        # per-tile big capacity overflow → overflow_big (not _window)
+        matched = matched | is_big_lane
+        overflow_big = overflow_big + jnp.sum(is_big_lane & ~fits_big)
     overflow_window = jnp.sum((table >= 0) & ~matched)
     bases = jnp.stack(bases, axis=1).reshape(-1)  # [NT*R]
     dests = jnp.stack(dests, axis=1).reshape(-1)
     nblks = jnp.stack(nblks, axis=1).reshape(-1)
     table_local = local.reshape(NT, K // 128, 128)
 
-    return (G_s, table, table_local, counts, bases, dests, nblks, n_binned,
-            overflow_rect, overflow_tile, overflow_window, overflow_big)
+    return (G_s, table_global, table_local, counts, bases, dests, nblks,
+            big_table, n_binned, overflow_rect, overflow_tile,
+            overflow_window, overflow_big)
 
 
 def _composite_windowed_with_xla_vjp(
     G_s, table_rows, table_local, counts, bases, dests, nblks,
-    n_feat, tiles_x, tiles_y, cfg, tile_offset=None
+    n_feat, tiles_x, tiles_y, cfg, tile_offset=None, big_table=None
 ):
     """Fused windowed forward. Backward: the windowed fused Pallas kernel
     (per-pair gradients from the same span DMAs + in-VMEM select, then one
@@ -857,26 +937,38 @@ def _composite_windowed_with_xla_vjp(
         tile_offset = jnp.zeros((1,), jnp.int32)
     tile_offset = jnp.asarray(tile_offset, jnp.int32).reshape(1)
 
-    def _blocked(G_s):
+    def _rows(G_s):
         if bf16_obj:
-            rows = jnp.concatenate(
+            return jnp.concatenate(
                 [G_s[:, 0:11], G_s[:, 27:32], G_s[:, 40:48]], axis=1
             )  # hdr(8) + rgb(3) | dz0,A,B,1,pad(5) | packed obj(8) = 24
-        else:
-            rows = G_s[:, :CH]
+        return G_s[:, :CH]
+
+    def _blocked(G_s):
         G_pad = jnp.concatenate(
-            [rows, jnp.zeros((P_pad - P, CH_K), G_s.dtype)], axis=0
+            [_rows(G_s), jnp.zeros((P_pad - P, CH_K), G_s.dtype)], axis=0
         )
         return G_pad.T.reshape(CH_K, P_pad // 128, 128).transpose(1, 0, 2)
 
+    use_store = big_table is not None
+
     def primal(G_s, table_rows, table_local, counts, bases, dests, nblks,
-               toff):
+               toff, big_table):
+        big = None
+        if use_store:
+            # pre-gather the per-tile depth-ordered big rows once (the store
+            # tier's one row gather; empty slots clamp to row 0 — no table
+            # lane addresses them)
+            NTl, KB = big_table.shape
+            rows = _rows(G_s)[jnp.maximum(big_table.reshape(-1), 0)]
+            big = rows.reshape(NTl, KB // 128, 128, CH_K).transpose(0, 1, 3, 2)
         acc, T = composite_windowed(
             _blocked(G_s), table_local, counts, bases, dests, nblks, CF_in,
             cfg.tile, tiles_x, alpha_min=cfg.alpha_min,
             t_min=cfg.transmittance_min, chunk=K_chunk, n_span=R, w_blocks=NB,
             interpret=interpret, bf16_obj=bf16_obj,
             scan_impl=getattr(cfg, "scan_impl", "roll"), tile_offset=toff,
+            big=big,
         )
         if bf16_obj:
             # kernel acc columns: rgb(0:3) dz0,A,B,1(3:7) pad(7) obj(8:24)
@@ -888,19 +980,24 @@ def _composite_windowed_with_xla_vjp(
 
     f = jax.custom_vjp(primal)
 
-    def fwd(G_s, table_rows, table_local, counts, bases, dests, nblks, toff):
+    def fwd(G_s, table_rows, table_local, counts, bases, dests, nblks, toff,
+            big_table):
         out = primal(G_s, table_rows, table_local, counts, bases, dests,
-                     nblks, toff)
+                     nblks, toff, big_table)
         return out, (G_s, table_rows, table_local, counts, bases, dests,
-                     nblks, toff, out[1])
+                     nblks, toff, big_table, out[1])
 
     def bwd(res, cots):
         (G_s, table_rows, table_local, counts, bases, dests, nblks, toff,
-         T_final) = res
+         big_table, T_final) = res
         d_acc, d_T = cots
-        ints = (table_rows, table_local, counts, bases, dests, nblks, toff)
-        zeros_int = tuple(_np.zeros(x.shape, jax.dtypes.float0) for x in ints)
-        if bf16_obj or not cfg.pallas_backward:
+        ints = (table_rows, table_local, counts, bases, dests, nblks, toff,
+                big_table)
+        zeros_int = tuple(
+            None if x is None else _np.zeros(x.shape, jax.dtypes.float0)
+            for x in ints
+        )
+        if bf16_obj or not cfg.pallas_backward or use_store:
             # Recompute ONLY over pairs the windowed forward actually
             # composited: entries the span window dropped (table_local == -1)
             # must not contribute gradient, or d(loss) is pulled back through
@@ -946,12 +1043,12 @@ def _composite_windowed_with_xla_vjp(
 
     f.defvjp(fwd, bwd)
     return f(G_s, table_rows, table_local, counts, bases, dests, nblks,
-             tile_offset)
+             tile_offset, big_table)
 
 
 def _composite_windowed_sharded(
     G_s, table_rows, table_local, counts, bases, dests, nblks,
-    n_feat, tiles_x, tiles_y, cfg, mesh
+    n_feat, tiles_x, tiles_y, cfg, mesh, big_table=None
 ):
     """Multi-chip windowed compositing: shard_map over the tiles axis.
 
@@ -986,24 +1083,32 @@ def _composite_windowed_sharded(
             jnp.concatenate([x, jnp.zeros((pad, R), x.dtype)])
             for x in (b2, d2, n2)
         )
+        if big_table is not None:
+            big_table = jnp.concatenate(
+                [big_table, jnp.full((pad, big_table.shape[1]), -1,
+                                     big_table.dtype)]
+            )
 
-    def local(G_s, table_rows, table_local, counts, b2, d2, n2):
+    def local(G_s, table_rows, table_local, counts, b2, d2, n2, *bt):
         toff = jax.lax.axis_index(TILE_AXIS) * (NT_pad // ndev)
         return _composite_windowed_with_xla_vjp(
             G_s, table_rows, table_local, counts,
             b2.reshape(-1), d2.reshape(-1), n2.reshape(-1),
             n_feat, tiles_x, tiles_y, cfg, tile_offset=toff[None],
+            big_table=bt[0] if bt else None,
         )
 
+    extra_in = (P(TILE_AXIS, None),) if big_table is not None else ()
+    extra_arg = (big_table,) if big_table is not None else ()
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(TILE_AXIS, None), P(TILE_AXIS, None, None),
                   P(TILE_AXIS), P(TILE_AXIS, None), P(TILE_AXIS, None),
-                  P(TILE_AXIS, None)),
+                  P(TILE_AXIS, None)) + extra_in,
         out_specs=(P(TILE_AXIS, None, None), P(TILE_AXIS, None)),
         check_vma=False,
     )
-    acc, T = fn(G_s, table_rows, table_local, counts, b2, d2, n2)
+    acc, T = fn(G_s, table_rows, table_local, counts, b2, d2, n2, *extra_arg)
     return acc[:NT], T[:NT]
 
 
@@ -1179,19 +1284,19 @@ def rasterize(
     ov_win = jnp.int32(0)
     ov_big = jnp.int32(0)
     if use_windowed:
-        (G_s, table, table_local, counts, bases, dests, nblks, n_binned,
-         ov_rect, ov_tile, ov_win, ov_big) = _prepare_windowed(
+        (G_s, table, table_local, counts, bases, dests, nblks, big_table,
+         n_binned, ov_rect, ov_tile, ov_win, ov_big) = _prepare_windowed(
             pre, obj_features, tiles_x, tiles_y, cfg
         )
         if mesh is not None:
             accum, T_final = _composite_windowed_sharded(
                 G_s, table, table_local, counts, bases, dests, nblks,
-                n_feat, tiles_x, tiles_y, cfg, mesh
+                n_feat, tiles_x, tiles_y, cfg, mesh, big_table=big_table
             )
         else:
             accum, T_final = _composite_windowed_with_xla_vjp(
                 G_s, table, table_local, counts, bases, dests, nblks,
-                n_feat, tiles_x, tiles_y, cfg
+                n_feat, tiles_x, tiles_y, cfg, big_table=big_table
             )
         px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
     else:

@@ -207,8 +207,17 @@ class SLAMPipeline:
         if over["tile"]:
             kw["tile_capacity"] = r.tile_capacity * 2
         if over["rect"]:
-            R = int(round(r.max_tiles_per_gaussian ** 0.5)) + 1
-            kw["max_tiles_per_gaussian"] = R * R
+            if r.windowed:
+                # windowed path: recover big-rect coverage through the store
+                # tier (per-tile big table, exact for rect ≤ store_max_rect)
+                # instead of widening the R×R expansion for every Gaussian
+                kw["windowed_big_capacity"] = (
+                    r.windowed_big_capacity * 2 if r.windowed_big_capacity
+                    else 128
+                )
+            else:
+                R = int(round(r.max_tiles_per_gaussian ** 0.5)) + 1
+                kw["max_tiles_per_gaussian"] = R * R
         if over["window"]:
             kw["window_blocks"] = r.window_blocks + 2
         if over["big"]:

@@ -289,10 +289,28 @@ def test_pipeline_overflow_adaptation_grows_knobs():
     for _ in range(3):
         pipe._maybe_grow_capacity(m)
     assert pipe.cfg.raster.tile_capacity == 256
-    assert pipe.cfg.raster.max_tiles_per_gaussian == 9
+    # windowed (default) path: rect overflow enables the store tier instead
+    # of widening the R×R expansion for every Gaussian
+    assert pipe.cfg.raster.windowed_big_capacity == 128
+    assert pipe.cfg.raster.max_tiles_per_gaussian == 4
     assert pipe.cfg.raster.window_blocks == cfg.raster.window_blocks + 2
     assert pipe.cfg.raster.windowed_big_frac == min(
         cfg.raster.windowed_big_frac * 2, 1.0)
+    # a second sustained rect overflow doubles the store capacity
+    for _ in range(3):
+        pipe._maybe_grow_capacity(m)
+    assert pipe.cfg.raster.windowed_big_capacity == 256
+
+    # classic (non-windowed) path keeps the MT growth rule
+    import dataclasses as _dc
+    cfg_c = SLAMConfig(map=MapConfig(initial_capacity=256),
+                       raster=RasterizeConfig(max_tiles_per_gaussian=4,
+                                              tile_capacity=128, chunk=8,
+                                              windowed=False))
+    pipe_c = SLAMPipeline(cfg_c, point_budget=64)
+    for _ in range(3):
+        pipe_c._maybe_grow_capacity(m)
+    assert pipe_c.cfg.raster.max_tiles_per_gaussian == 9
 
 
 def test_windowed_interpret_matches_xla_cpu():
@@ -371,3 +389,106 @@ def test_windowed_interpret_matches_xla_cpu():
     g16 = jax.jit(jax.grad(loss16))(A[0])
     rel16 = float(jnp.abs(g16 - gx).max() / (jnp.abs(gx).max() + 1e-8))
     assert rel16 < 1e-4, rel16
+
+
+def test_store_tier_full_coverage_matches_wide_xla():
+    """Store tier (`windowed_big_capacity`): rect > R Gaussians composite
+    their FULL footprint through the per-tile big table — forward AND
+    gradients must match the classic XLA path run with a window wide enough
+    to cover every rect (the reference's exact, uncapped coverage,
+    `rasterizer_impl.cu:288-294`). Also: the fast mode (store off) must
+    report the same pairs as coverage loss in overflow_rect."""
+    rng = np.random.default_rng(1)
+    n, W, H = 1024, 160, 128
+    z = rng.uniform(2.0, 10.0, (n, 1))
+    xy = rng.uniform(-0.5, 0.5, (n, 2)) * z * np.array([1.3, 1.0])
+    means = np.concatenate([xy, z], 1).astype(np.float32)
+    # heavy tail: screen rects up to ~12 tiles
+    scales = (rng.uniform(0.01, 0.1, (n, 3)) * z).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, -1, keepdims=True)
+    opac = rng.uniform(0.3, 0.9, (n,)).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    objs = rng.normal(size=(n, 16)).astype(np.float32)
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                      W, H, 1.2, 0.9)
+    A = tuple(jnp.asarray(v) for v in (means, opac, scales, quats, colors, objs))
+    base = RasterizeConfig(
+        max_tiles_per_gaussian=16, tile_capacity=1024, chunk=64,
+        pallas_interpret=True, window_blocks=24,
+        windowed_mid_frac=1.0, windowed_big_frac=1.0,
+    )
+    cfg_store = dataclasses.replace(
+        base, windowed_big_capacity=512,
+        windowed_store_fracs=((6, 1.0), (8, 1.0), (12, 1.0), (16, 1.0)),
+    )
+    cfg_wide = dataclasses.replace(base, max_tiles_per_gaussian=256)
+
+    render = lambda c, **kw: jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, c, colors=a[4], obj_features=a[5],
+        **kw))(*A)
+    out_s = render(cfg_store, windowed=True)
+    out_w = render(cfg_wide, windowed=False, fused=False)
+    out_fast = render(base, windowed=True)
+
+    assert int(out_w.overflow_rect) == 0  # wide window covers everything
+    assert int(out_s.overflow_rect) == 0  # store covers everything too
+    # store binned == wide binned: identical pair sets
+    assert int(out_s.n_binned) == int(out_w.n_binned)
+    # fast mode loses exactly the pairs the store recovered
+    assert int(out_fast.overflow_rect) > 0
+    np.testing.assert_allclose(np.asarray(out_s.color),
+                               np.asarray(out_w.color), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_s.final_T),
+                               np.asarray(out_w.final_T), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_s.depth),
+                               np.asarray(out_w.depth), atol=2e-2)
+
+    tgt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
+
+    def make_loss(c, kw):
+        def loss(m, o, s, q, cc, ob):
+            r = rz.rasterize(m, o, s, q, cam, c, colors=cc, obj_features=ob,
+                             **kw)
+            return (jnp.sum((r.color - tgt) ** 2)
+                    + 1e-3 * jnp.sum(r.depth ** 2) + jnp.sum(r.final_T ** 2))
+        return loss
+
+    gs = jax.jit(jax.grad(make_loss(cfg_store, {"windowed": True}),
+                          argnums=(0, 1, 2, 3, 4)))(*A)
+    gx = jax.jit(jax.grad(make_loss(cfg_wide, {"windowed": False,
+                                               "fused": False}),
+                          argnums=(0, 1, 2, 3, 4)))(*A)
+    for name, a, b in zip(["means", "opac", "scales", "quats", "colors"],
+                          gs, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+        assert rel < 1e-3, (name, rel)
+
+
+def test_store_tier_saturated_drops_counted():
+    """Per-tile big capacity saturation drops the DEEPEST lanes (behind
+    near-opaque foreground) and must surface in overflow_big."""
+    rng = np.random.default_rng(2)
+    n, W, H = 512, 64, 64
+    means = np.concatenate(
+        [rng.uniform(-0.6, 0.6, (n, 2)), rng.uniform(2.0, 4.0, (n, 1))], 1
+    ).astype(np.float32)
+    scales = np.full((n, 3), 0.6, np.float32)  # everyone huge: rects >> R
+    quats = np.tile(np.array([0, 0, 0, 1], np.float32), (n, 1))
+    opac = np.full((n,), 0.9, np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    objs = np.zeros((n, 16), np.float32)
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                      W, H, 1.2, 0.9)
+    cfg = RasterizeConfig(
+        max_tiles_per_gaussian=16, tile_capacity=1024, chunk=64,
+        pallas_interpret=True, window_blocks=24, windowed_big_capacity=128,
+        windowed_store_fracs=((6, 1.0), (8, 1.0), (12, 1.0), (16, 1.0)),
+    )
+    out = jax.jit(lambda: rz.rasterize(
+        jnp.asarray(means), jnp.asarray(opac), jnp.asarray(scales),
+        jnp.asarray(quats), cam, cfg, colors=jnp.asarray(colors),
+        obj_features=jnp.asarray(objs), windowed=True))()
+    assert int(out.overflow_big) > 0  # saturation is counted, never silent
+    assert np.isfinite(np.asarray(out.color)).all()
