@@ -83,11 +83,22 @@ def cmd_run_slam(args):
 
         resumed_state, cfg = load_state(args.resume)
         print(f"resumed state+config from {args.resume}", file=sys.stderr)
+        if args.preset:
+            print("--preset ignored: --resume adopts the persisted config",
+                  file=sys.stderr)
     else:
         cfg = preset(args.preset) if args.preset else SLAMConfig()
+    # only EXPLICIT flags override (None = not given); fresh runs get the
+    # documented defaults
+    tracking = args.tracking if args.tracking is not None else (
+        cfg.tracking.backend if args.resume else "none")
+    post_train = args.post_train if args.post_train is not None else (
+        cfg.post_train_iters if args.resume else 100)
+    import dataclasses as _dc
+
     cfg = cfg.replace(
-        tracking=cfg.tracking.__class__(backend=args.tracking),
-        post_train_iters=args.post_train,
+        tracking=_dc.replace(cfg.tracking, backend=tracking),
+        post_train_iters=post_train,
     )
     if args.capacity:
         import dataclasses
@@ -129,6 +140,7 @@ def cmd_run_slam(args):
                 "mean_psnr": psnr,
                 "keyframes": res.n_keyframes,
                 "timed_out": res.timed_out,
+                "tracking": cfg.tracking.backend,
             }
         )
     )
@@ -222,7 +234,9 @@ def cmd_run_gicp(args):
                 reg.set_input_target(np.vstack(kf_stack))
     else:
         # Scan-to-scan with target←source carry-over — the reference KITTI
-        # loop's `swapSourceAndTarget` (`src/kitti.cpp:116-130`).
+        # loop's `swapSourceAndTarget` (`src/kitti.cpp:116-130`). The swap
+        # (not set_input_target) keeps the covariances just estimated for
+        # the source, halving per-frame covariance work.
         sp = sensor_frame(frames[0])
         reg.set_input_target(sp)
         for i in range(1, len(frames)):
@@ -232,10 +246,18 @@ def cmd_run_gicp(args):
             delta = reg.align(np.eye(4))
             times.append(time.perf_counter() - t0)
             poses.append(poses[-1] @ delta)
-            reg.set_input_target(sc)
+            reg.swap_source_and_target()
     poses = np.stack(poses)
     ate = None
     if has_gt:
+        if raw_sensor and not getattr(args, "calib", ""):
+            # KITTI GT is T_w_cam0; estimates are velodyne-frame. Without the
+            # Tr conjugation (--calib) the frames differ by ~0.27 m lever-arm
+            # terms Umeyama cannot absorb — the metric would be silently
+            # inflated (`kitti.cpp` applies calib unconditionally).
+            print("WARNING: --poses without --calib: ATE mixes cam0-frame GT "
+                  "with velodyne-frame estimates; pass the sequence's "
+                  "calib.txt for a faithful metric", file=sys.stderr)
         gt = np.stack([np.asarray(f.pose) for f in frames])
         ate, _ = ate_rmse(poses, gt)
     print(
@@ -440,14 +462,17 @@ def main(argv=None):
     sp = sub.add_parser("run-slam")
     add_dataset_args(sp, live=True)
     sp.add_argument("--preset", default="", choices=["", "fast_livo2", "replica", "tum"])
-    sp.add_argument("--tracking", default="none",
+    # default=None so --resume can distinguish "flag given" from "default":
+    # a resumed run adopts the persisted config and only EXPLICIT flags
+    # override it (cfg_args parity, `arguments/__init__.py:100-120`)
+    sp.add_argument("--tracking", default=None,
                     choices=["none", "gicp", "vgicp", "esikf"])
     sp.add_argument("--semantics", action="store_true")
     sp.add_argument("--mask-backend", default="geometric",
                     choices=["geometric", "sam"])
     sp.add_argument("--port", type=int, default=7011,
                     help="TCP port for --dataset socket (io/stream.py)")
-    sp.add_argument("--post-train", type=int, default=100)
+    sp.add_argument("--post-train", type=int, default=None)
     sp.add_argument("--point-budget", type=int, default=4096)
     sp.add_argument("--capacity", type=int, default=0)
     sp.add_argument("--save", default="")

@@ -202,3 +202,17 @@ def quat_scale_to_cov(scales: jax.Array, quats: jax.Array) -> jax.Array:
     """(scale, quat xyzw) -> full 3x3 covariance Σ = R S² Rᵀ [..., 3, 3]."""
     L = build_scaling_rotation(scales, quats)
     return L @ jnp.swapaxes(L, -1, -2)
+
+
+# LiDAR body → camera axes (FLU → RDF): the literal matrices the reference
+# composes as `R_cam @ (Rz_90 @ Rx_minus_90)` when building keyframe cameras
+# from odometry (`scripts/gaussian_splatting.py:309-315`). Product:
+# [[0,0,1],[-1,0,0],[0,-1,0]] — lidar-forward x → camera-forward z,
+# lidar-left y → camera −x, lidar-up z → camera −y. The single shared
+# definition for every ingestion path (pipeline keyframing, rosbag replay).
+import numpy as _np  # noqa: E402  (host-side constant; not a jnp value)
+
+LIDAR_TO_CAM = (
+    _np.array([[0, 1, 0], [-1, 0, 0], [0, 0, 1]], dtype=_np.float32)
+    @ _np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], dtype=_np.float32)
+)

@@ -79,18 +79,34 @@ def _iter_records(buf: bytes, off: int = 0) -> Iterator[Tuple[Dict[bytes, bytes]
         yield header, data
 
 
+def _iter_file_records(f) -> Iterator[Tuple[Dict[bytes, bytes], bytes]]:
+    """Stream top-level records from an open bag file handle — O(record)
+    memory, so multi-GB bags never materialize in RAM (chunk payloads are
+    decompressed one chunk at a time by the caller)."""
+    while True:
+        head = f.read(4)
+        if len(head) < 4:
+            return
+        (hlen,) = _u32.unpack(head)
+        header = _parse_header(f.read(hlen))
+        dhead = f.read(4)
+        if len(dhead) < 4:
+            return
+        (dlen,) = _u32.unpack(dhead)
+        data = f.read(dlen)
+        if len(data) < dlen:
+            return
+        yield header, data
+
+
 def read_bag(
     path: str, topics: Optional[Sequence[str]] = None
 ) -> Iterator[Tuple[str, str, float, bytes]]:
     """Yield (topic, msg_type, stamp_seconds, raw_message_bytes) in file
     order. Reads sequentially through chunk records — no bag index needed
-    (works on unindexed/crashed bags, like `rosbag reindex` input)."""
-    with open(path, "rb") as f:
-        magic = f.read(len(MAGIC))
-        if magic != MAGIC:
-            raise ValueError(f"not a ROS1 v2.0 bag: {path}")
-        buf = f.read()
-
+    (works on unindexed/crashed bags, like `rosbag reindex` input) — and
+    STREAMS from the file handle: peak memory is one (decompressed) chunk,
+    not the bag size."""
     want = set(topics) if topics is not None else None
     conns: Dict[int, Tuple[str, str]] = {}  # conn id -> (topic, type)
 
@@ -115,7 +131,11 @@ def read_bag(
                 yield from _emit(_iter_records(payload))
             # bag header / index / chunk-info records carry no messages
 
-    yield from _emit(_iter_records(buf))
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ValueError(f"not a ROS1 v2.0 bag: {path}")
+        yield from _emit(_iter_file_records(f))
 
 
 # ---------------------------------------------------------------------------
@@ -370,9 +390,13 @@ class RosbagDataset:
         last_imu_t: Optional[float] = None
         rot_fix = None
         if self.lidar_axes:
-            rz = _quat_to_rot(0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4))
-            rx = _quat_to_rot(np.sin(-np.pi / 4), 0, 0, np.cos(-np.pi / 4))
-            rot_fix = rz @ rx
+            # the reference's exact FLU→RDF fix — the SAME shared constant
+            # the pipeline's keyframing applies (`gaussian_splatting.py:
+            # 309-315`); an earlier quaternion-composed version here used
+            # Rz(+90) and pointed the camera backwards
+            from sags_tpu.core.transforms import LIDAR_TO_CAM
+
+            rot_fix = LIDAR_TO_CAM
 
         for topic, _, _, raw in read_bag(self.path, want):
             if topic == self.imu_topic:
@@ -466,12 +490,13 @@ def encode_pointcloud2(stamp: float, pts: np.ndarray,
 
 
 def encode_odometry(stamp: float, pose: np.ndarray) -> bytes:
+    # branch-robust Shepperd conversion — the trace-only formula divides by
+    # ~0 for rotations near 180° (trace → −1) and wrote garbage quaternions
+    from sags_tpu.utils.traj import _rotmat_to_quat_xyzw
+
     R = pose[:3, :3]
     t = pose[:3, 3]
-    qw = 0.5 * (max(1.0 + R[0, 0] + R[1, 1] + R[2, 2], 1e-12)) ** 0.5
-    qx = (R[2, 1] - R[1, 2]) / (4 * qw)
-    qy = (R[0, 2] - R[2, 0]) / (4 * qw)
-    qz = (R[1, 0] - R[0, 1]) / (4 * qw)
+    qx, qy, qz, qw = (float(v) for v in _rotmat_to_quat_xyzw(R))
     return (_w_header(stamp) + _w_string("base")
             + struct.pack("<7d", t[0], t[1], t[2], qx, qy, qz, qw)
             + struct.pack("<36d", *([0.0] * 36))

@@ -204,30 +204,40 @@ class SLAMPipeline:
             return
         r = self.cfg.raster
         kw = {}
-        if over["tile"]:
+        if over["tile"] and r.tile_capacity < 4096:
             kw["tile_capacity"] = r.tile_capacity * 2
         if over["rect"]:
-            if r.windowed:
-                # windowed path: recover big-rect coverage through the store
-                # tier (per-tile big table, exact for rect ≤ store_max_rect)
-                # instead of widening the R×R expansion for every Gaussian
+            # These metrics come from slam_step, which PINS the classic
+            # fused path (windowed=False, slam/step.py:129) — so rect
+            # overflow here must grow the knob that path reads: the R×R
+            # expansion window. Bounded: each step is a recompile, and a
+            # scene whose splats exceed the cap entirely would otherwise
+            # ratchet forever (drops stay counted past the cap).
+            R = int(round(r.max_tiles_per_gaussian ** 0.5)) + 1
+            if R * R <= 64:
+                kw["max_tiles_per_gaussian"] = R * R
+            # Keep the windowed RENDER path (pipeline renders, eval, viewer)
+            # in sync: enable/grow its store tier so offline renders of the
+            # same map recover the full footprint. Capped like MT.
+            if r.windowed and r.windowed_big_capacity < 1024:
                 kw["windowed_big_capacity"] = (
                     r.windowed_big_capacity * 2 if r.windowed_big_capacity
                     else 128
                 )
-            else:
-                R = int(round(r.max_tiles_per_gaussian ** 0.5)) + 1
-                kw["max_tiles_per_gaussian"] = R * R
-        if over["window"]:
+        if over["window"] and r.window_blocks < 40:  # BIG_BASE bounds w_blocks < 64
             kw["window_blocks"] = r.window_blocks + 2
         if over["big"]:
-            kw["windowed_mid_frac"] = min(r.windowed_mid_frac * 2, 1.0)
-            kw["windowed_big_frac"] = min(r.windowed_big_frac * 2, 1.0)
+            if r.windowed_mid_frac < 1.0:
+                kw["windowed_mid_frac"] = min(r.windowed_mid_frac * 2, 1.0)
+            if r.windowed_big_frac < 1.0:
+                kw["windowed_big_frac"] = min(r.windowed_big_frac * 2, 1.0)
+        self._overflow_strikes = 0
+        if not kw:
+            return  # every relevant knob is at its cap — don't rebuild
         self.cfg = self.cfg.replace(raster=dataclasses.replace(r, **kw))
         self.step_fn = slam_step_mod.make_slam_step(
             self.cfg, donate=False, mesh=self.mesh
         )
-        self._overflow_strikes = 0
 
     def _make_objects(self, frame: Frame, pose: np.ndarray) -> np.ndarray:
         H, W = frame.image.shape[1:]
@@ -337,11 +347,6 @@ class SLAMPipeline:
         return scores
 
 
-# LiDAR body → camera axes (`gaussian_splatting.py:309-315`): the literal
-# matrices the reference composes as `Rz_90 @ Rx_minus_90` (by the usual
-# sign convention they are Rz(−90°)·Rx(−90°); we keep the reference's exact
-# numbers, which map lidar-forward x → camera-forward z, lidar-left y →
-# camera −x, lidar-up z → camera −y, i.e. FLU → RDF).
-_LIDAR_TO_CAM = np.array(
-    [[0, 1, 0], [-1, 0, 0], [0, 0, 1]], dtype=np.float32
-) @ np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], dtype=np.float32)
+# Single shared definition (core/transforms.py) so every ingestion path —
+# pipeline keyframing here, rosbag replay — applies the SAME reference fix.
+from sags_tpu.core.transforms import LIDAR_TO_CAM as _LIDAR_TO_CAM  # noqa: E402

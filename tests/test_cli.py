@@ -88,7 +88,7 @@ def test_run_slam_checkpoint_resume(tmp_path):
         "run-slam", "--dataset", "synthetic", "--frames", "2",
         "--width", "64", "--height", "48", "--post-train", "1",
         "--point-budget", "256", "--capacity", "4096",
-        "--checkpoint", str(ckpt),
+        "--tracking", "gicp", "--checkpoint", str(ckpt),
     )
     assert ckpt.exists()
     out = run_cli(
@@ -99,6 +99,9 @@ def test_run_slam_checkpoint_resume(tmp_path):
     )
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["frames"] == 2
+    # cfg_args parity: the resumed run keeps the persisted tracking backend
+    # (it was once clobbered back to the CLI default "none")
+    assert res["tracking"] == "gicp"
 
 
 @pytest.mark.slow

@@ -289,10 +289,12 @@ def test_pipeline_overflow_adaptation_grows_knobs():
     for _ in range(3):
         pipe._maybe_grow_capacity(m)
     assert pipe.cfg.raster.tile_capacity == 256
-    # windowed (default) path: rect overflow enables the store tier instead
-    # of widening the R×R expansion for every Gaussian
+    # rect overflow comes from slam_step's CLASSIC path (windowed=False is
+    # pinned there) so it must grow the R×R window that path reads — AND
+    # enable the windowed render path's store tier so offline renders of
+    # the same map recover the footprint too
+    assert pipe.cfg.raster.max_tiles_per_gaussian == 9
     assert pipe.cfg.raster.windowed_big_capacity == 128
-    assert pipe.cfg.raster.max_tiles_per_gaussian == 4
     assert pipe.cfg.raster.window_blocks == cfg.raster.window_blocks + 2
     assert pipe.cfg.raster.windowed_big_frac == min(
         cfg.raster.windowed_big_frac * 2, 1.0)
@@ -300,17 +302,19 @@ def test_pipeline_overflow_adaptation_grows_knobs():
     for _ in range(3):
         pipe._maybe_grow_capacity(m)
     assert pipe.cfg.raster.windowed_big_capacity == 256
+    assert pipe.cfg.raster.max_tiles_per_gaussian == 16
 
-    # classic (non-windowed) path keeps the MT growth rule
+    # every knob capped → adaptation stops rebuilding instead of ratcheting
     import dataclasses as _dc
-    cfg_c = SLAMConfig(map=MapConfig(initial_capacity=256),
-                       raster=RasterizeConfig(max_tiles_per_gaussian=4,
-                                              tile_capacity=128, chunk=8,
-                                              windowed=False))
-    pipe_c = SLAMPipeline(cfg_c, point_budget=64)
+    capped = _dc.replace(
+        pipe.cfg.raster, tile_capacity=4096, max_tiles_per_gaussian=64,
+        windowed_big_capacity=1024, window_blocks=40,
+        windowed_mid_frac=1.0, windowed_big_frac=1.0)
+    pipe.cfg = pipe.cfg.replace(raster=capped)
+    fn_before = pipe.step_fn
     for _ in range(3):
-        pipe_c._maybe_grow_capacity(m)
-    assert pipe_c.cfg.raster.max_tiles_per_gaussian == 9
+        pipe._maybe_grow_capacity(m)
+    assert pipe.cfg.raster is capped and pipe.step_fn is fn_before
 
 
 def test_windowed_interpret_matches_xla_cpu():

@@ -108,13 +108,20 @@ def test_rosbag_dataset_frames(tmp_path):
     np.testing.assert_allclose(frames[1].imu[:, 2], 0.1, atol=1e-6)
     assert frames[1].imu[1:, 6].min() > 0.0
 
-    # lidar_axes applies R·Rz(90)·Rx(−90) (`gaussian_splatting.py:309-315`)
+    # lidar_axes applies the reference's literal Rz_90 @ Rx_minus_90
+    # product [[0,0,1],[-1,0,0],[0,-1,0]] (`gaussian_splatting.py:309-315`)
+    # — the SAME shared constant the pipeline keyframing uses (a previous
+    # version here used Rz(+90) and disagreed with slam/pipeline)
+    from sags_tpu.core.transforms import LIDAR_TO_CAM
+
+    np.testing.assert_allclose(
+        LIDAR_TO_CAM,
+        np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32), atol=0,
+    )
     ds2 = rb.RosbagDataset(str(bag), lidar_axes=True)
     f2 = next(iter(ds2))
-    rz90 = rb._quat_to_rot(0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4))
-    rxm90 = rb._quat_to_rot(np.sin(-np.pi / 4), 0, 0, np.cos(np.pi / 4))
     np.testing.assert_allclose(
-        f2.pose[:3, :3], frames[0].pose[:3, :3] @ rz90 @ rxm90, atol=1e-5
+        f2.pose[:3, :3], frames[0].pose[:3, :3] @ LIDAR_TO_CAM, atol=1e-5
     )
 
 
@@ -143,3 +150,19 @@ def test_rosbag_feeds_pipeline(tmp_path):
     res = pipe.run(iter(rb.RosbagDataset(str(bag))))
     assert res.poses_est.shape[0] == 3
     assert np.isfinite(res.losses).all()
+
+
+def test_odometry_quaternion_roundtrip_180deg():
+    """Regression: encode_odometry's old trace-only quaternion formula wrote
+    garbage for rotations near trace −1 (e.g. a vehicle turned 180°)."""
+    import sags_tpu.io.rosbag as rb
+
+    for R in [
+        np.diag([-1.0, -1.0, 1.0]),           # 180° yaw, trace −1
+        np.diag([1.0, -1.0, -1.0]),           # 180° roll
+        np.array([[0, 1, 0], [1, 0, 0], [0, 0, -1.0]]),  # 180° about (1,1,0)
+    ]:
+        pose = np.eye(4); pose[:3, :3] = R
+        raw = rb.encode_odometry(1.5, pose)
+        _, pose2 = rb.decode_odometry(raw)
+        np.testing.assert_allclose(pose2[:3, :3], R, atol=1e-6)
