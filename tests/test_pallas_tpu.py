@@ -200,3 +200,44 @@ def test_windowed_bf16_obj_matches_full_precision():
     o_ref = np.asarray(ow.objects)
     o_rel = np.abs(np.asarray(ob.objects) - o_ref).max() / (np.abs(o_ref).max() + 1e-9)
     assert 0.0 < o_rel < 2e-2, o_rel
+
+
+def test_store_tier_on_chip_matches_wide_xla():
+    """Compiled (non-interpret) store-tier kernel path: forward must match
+    the classic XLA path run with a window wide enough for every rect."""
+    rng = np.random.default_rng(1)
+    n, W, H = 2048, 256, 192
+    z = rng.uniform(2.0, 10.0, (n, 1))
+    xy = rng.uniform(-0.5, 0.5, (n, 2)) * z * np.array([1.3, 1.0])
+    means = np.concatenate([xy, z], 1).astype(np.float32)
+    scales = (rng.uniform(0.01, 0.12, (n, 3)) * z).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, -1, keepdims=True)
+    opac = rng.uniform(0.3, 0.9, (n,)).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    objs = rng.normal(size=(n, 16)).astype(np.float32)
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                      W, H, 1.2, 0.9)
+    A = tuple(jnp.asarray(v) for v in (means, opac, scales, quats, colors, objs))
+    base = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=1024,
+                           chunk=64, window_blocks=24,
+                           windowed_mid_frac=1.0, windowed_big_frac=1.0)
+    cfg = dataclasses.replace(
+        base, windowed_big_capacity=512,
+        windowed_store_fracs=((6, 1.0), (8, 1.0), (12, 1.0), (16, 1.0)))
+    out_s = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    out_w = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam,
+        dataclasses.replace(base, max_tiles_per_gaussian=256),
+        colors=a[4], obj_features=a[5],
+        windowed=False, fused=False))(*A)
+    assert int(out_s.overflow_rect) == 0
+    assert int(out_s.n_binned) == int(out_w.n_binned)
+    np.testing.assert_allclose(np.asarray(out_s.color),
+                               np.asarray(out_w.color), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_s.objects),
+                               np.asarray(out_w.objects), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_s.final_T),
+                               np.asarray(out_w.final_T), atol=2e-3)
