@@ -477,7 +477,8 @@ class KITTIOdometryDataset:
         with open(calib_file) as f:
             for line in f:
                 if line.startswith("Tr:") or line.startswith("Tr "):
-                    vals = np.array(line.split(":", 1)[1].split(), np.float64)
+                    body = line.split(":", 1)[1] if ":" in line else line[3:]
+                    vals = np.array(body.split(), np.float64)
                     Tr[:3, :4] = vals.reshape(3, 4)
                     break
         return Tr

@@ -79,6 +79,7 @@ class FrameQueue:
         self.timed_out = False
         self._err: Optional[BaseException] = None
         self._waiting_source = True
+        self._stop = False
         self._last_rx = time.monotonic()
         self._thread = threading.Thread(
             target=self._produce, args=(iter(frames),), daemon=True
@@ -89,7 +90,7 @@ class FrameQueue:
         import time
 
         try:
-            while True:
+            while not self._stop:
                 # silence is measured at the SOURCE (the reference's
                 # topic-silence clock, `:652-666`) — staging or a slow
                 # consumer must not count toward it
@@ -100,11 +101,25 @@ class FrameQueue:
                     break
                 self._waiting_source = False
                 self._last_rx = time.monotonic()
-                self._q.put((stage_frame(f, self._point_budget, self._device), f))
+                item = (stage_frame(f, self._point_budget, self._device), f)
+                if not self._put_unless_stopped(item):
+                    return  # consumer timed out; don't park forever on put
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:
-            self._q.put(self._DONE)
+            self._put_unless_stopped(self._DONE)
+
+    def _put_unless_stopped(self, item) -> bool:
+        """Bounded put that gives up once the consumer has abandoned us —
+        otherwise a timed-out run would leak this thread (parked in
+        `Queue.put`) plus the staged device buffers it holds."""
+        while True:
+            try:
+                self._q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                if self._stop:
+                    return False
 
     def __iter__(self):
         import time
@@ -121,6 +136,14 @@ class FrameQueue:
                 if (self._waiting_source
                         and time.monotonic() - self._last_rx > self._timeout_s):
                     self.timed_out = True
+                    self._stop = True
+                    # drain anything already staged so a producer blocked in
+                    # put() wakes up and exits promptly
+                    while True:
+                        try:
+                            self._q.get_nowait()
+                        except queue.Empty:
+                            break
                     return
                 continue
             if item is self._DONE:

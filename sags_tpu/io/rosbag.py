@@ -127,7 +127,15 @@ def read_bag(
                     yield topic, mtype, secs + nsecs * 1e-9, data
             elif op == _OP_CHUNK:
                 comp = header.get(b"compression", b"none")
-                payload = bz2.decompress(data) if comp == b"bz2" else data
+                if comp == b"bz2":
+                    payload = bz2.decompress(data)
+                elif comp in (b"none", b""):
+                    payload = data
+                else:
+                    raise ValueError(
+                        f"unsupported bag chunk compression: {comp.decode()!r}"
+                        " (only none/bz2; re-write the bag uncompressed)"
+                    )
                 yield from _emit(_iter_records(payload))
             # bag header / index / chunk-info records carry no messages
 

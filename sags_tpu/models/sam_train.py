@@ -70,7 +70,6 @@ def make_training_data(
                     [xs.min() * sc, ys.min() * sc, (xs.max() + 1) * sc,
                      (ys.max() + 1) * sc], np.float32,
                 )
-                m4 = np.zeros((G4, G4), np.float32)
                 mc = np.asarray(jax.image.resize(
                     jnp.asarray(m, jnp.float32), (nh, nw), "bilinear"
                 ))

@@ -243,15 +243,18 @@ def scan_update(
 # over a FIXED world grid, merged with each new scan by one small
 # sort + segment-reduce — O(V + N) per frame, no per-frame kNN covariance
 # re-estimation, no full-map rebuild. Surfel covariance = within-voxel point
-# scatter Σppᵀ/n − μμᵀ (the plane geometry scan_update consumes).
+# scatter Σqqᵀ/n − q̄q̄ᵀ with q = p − voxel_center (anchoring at the voxel
+# center keeps |q| ≤ ~resolution, so the moment subtraction stays
+# well-conditioned in f32 even for voxels far from the world origin —
+# the raw E[ppᵀ]−μμᵀ form cancels catastrophically at ~60 m).
 # ---------------------------------------------------------------------------
 
 
 class SurfelMap(NamedTuple):
     keys: jax.Array  # [V] sorted unique voxel keys (INT32_MAX pad)
     n: jax.Array  # [V] points accumulated per voxel
-    sum_p: jax.Array  # [V,3]
-    sum_pp: jax.Array  # [V,3,3]
+    sum_p: jax.Array  # [V,3] Σ(p − voxel_center) — anchored first moment
+    sum_pp: jax.Array  # [V,3,3] Σ(p − voxel_center)(p − voxel_center)ᵀ
     overflow: jax.Array  # voxels dropped by capacity
     mins: jax.Array  # [3] fixed grid origin (voxel coords)
     dims: jax.Array  # [3] fixed grid dims
@@ -313,12 +316,15 @@ def surfel_map_update(sm: SurfelMap, points: jax.Array, mask: jax.Array) -> Surf
     # capacity bound, drops must be surfaced, not silent)
     dropped = jnp.sum(mask & ~valid)
 
+    # anchor each point at its voxel center: the fixed per-voxel anchor makes
+    # the moments combinable across updates while keeping them O(resolution)
+    q = points - (coords.astype(jnp.float32) + 0.5) * sm.resolution
     keys_all = jnp.concatenate([sm.keys, keys_new])
     n_all = jnp.concatenate([sm.n, valid.astype(jnp.float32)])
-    sp_all = jnp.concatenate([sm.sum_p, jnp.where(valid[:, None], points, 0.0)])
-    pp = points[:, :, None] * points[:, None, :]
+    sp_all = jnp.concatenate([sm.sum_p, jnp.where(valid[:, None], q, 0.0)])
+    qq = q[:, :, None] * q[:, None, :]
     spp_all = jnp.concatenate(
-        [sm.sum_pp, jnp.where(valid[:, None, None], pp, 0.0)]
+        [sm.sum_pp, jnp.where(valid[:, None, None], qq, 0.0)]
     )
 
     order = jnp.argsort(keys_all)
@@ -350,8 +356,17 @@ def surfel_map_update(sm: SurfelMap, points: jax.Array, mask: jax.Array) -> Surf
 def surfel_map_voxels(sm: SurfelMap) -> VoxelMap:
     """View the accumulators as the VoxelMap scan_update consumes."""
     n = jnp.maximum(sm.n, 1.0)
-    means = sm.sum_p / n[:, None]
-    covs = sm.sum_pp / n[:, None, None] - means[:, :, None] * means[:, None, :]
+    # decode the per-voxel anchor (voxel center) back from the key
+    rel2 = sm.keys % sm.dims[2]
+    t = sm.keys // sm.dims[2]
+    rel = jnp.stack([t // sm.dims[1], t % sm.dims[1], rel2], axis=-1)
+    live = (sm.keys < _SURFEL_KEY_MAX)[:, None]
+    center = jnp.where(
+        live, ((rel + sm.mins).astype(jnp.float32) + 0.5) * sm.resolution, 0.0
+    )
+    qbar = sm.sum_p / n[:, None]
+    means = center + qbar
+    covs = sm.sum_pp / n[:, None, None] - qbar[:, :, None] * qbar[:, None, :]
     # regularize so eigh on empty/degenerate voxels stays finite
     covs = covs + 1e-6 * jnp.eye(3)
     return VoxelMap(

@@ -114,27 +114,17 @@ def densify_event(state: OfflineState, cfg: SLAMConfig) -> OfflineState:
     return state._replace(map=m, rng=rng)
 
 
-def train_offline(
-    frames, cfg: SLAMConfig, iterations: int, capacity: Optional[int] = None,
-    seed: int = 0, log_every: int = 0,
-):
-    """Full offline optimization over a replayed frame set."""
-    from sags_tpu.slam.pipeline import SLAMPipeline  # for _camera_for reuse
-
-    pts = np.concatenate([f.points for f in frames])
-    cols = np.concatenate([f.colors for f in frames])
-    state = init_from_points(pts, cols, cfg, capacity, jax.random.key(seed))
-
-    helper = SLAMPipeline(cfg)
-    cams = [helper._camera_for(f, np.asarray(f.pose)) for f in frames]
-    imgs = [jnp.asarray(f.image) for f in frames]
-
+def _optimize(state: OfflineState, cams, imgs, cfg: SLAMConfig,
+              iterations: int, seed: int, log_every: int):
+    """The shared random-view loop: step + densify window + opacity resets.
+    Both offline entry points (frame replay, COLMAP scene) run exactly this
+    schedule — keep it in one place so they cannot drift apart."""
     step_fn = make_train_step(cfg, donate=False)
     densify_jit = jax.jit(lambda s: densify_event(s, cfg))
     rng = np.random.default_rng(seed)
     losses: List[float] = []
     for it in range(iterations):
-        i = rng.integers(len(frames))
+        i = rng.integers(len(cams))
         state, loss = step_fn(state, cams[i], imgs[i])
         losses.append(float(loss))
         step = it + 1
@@ -149,6 +139,23 @@ def train_offline(
     return state, losses
 
 
+def train_offline(
+    frames, cfg: SLAMConfig, iterations: int, capacity: Optional[int] = None,
+    seed: int = 0, log_every: int = 0,
+):
+    """Full offline optimization over a replayed frame set."""
+    from sags_tpu.slam.pipeline import SLAMPipeline  # for _camera_for reuse
+
+    pts = np.concatenate([f.points for f in frames])
+    cols = np.concatenate([f.colors for f in frames])
+    state = init_from_points(pts, cols, cfg, capacity, jax.random.key(seed))
+
+    helper = SLAMPipeline(cfg)
+    cams = [helper._camera_for(f, np.asarray(f.pose)) for f in frames]
+    imgs = [jnp.asarray(f.image) for f in frames]
+    return _optimize(state, cams, imgs, cfg, iterations, seed, log_every)
+
+
 def train_offline_scene(
     scene, cfg: SLAMConfig, iterations: int, capacity: Optional[int] = None,
     seed: int = 0, log_every: int = 0,
@@ -160,30 +167,12 @@ def train_offline_scene(
     The nerf++ radius seeds the scene extent (spatial-lr-scale / prune
     extent), as `Scene.__init__` does with `nerf_normalization["radius"]`.
     """
-    import dataclasses
-
     views = [v for v in scene.train_views if v.image is not None]
     if not views:
         raise ValueError("COLMAP scene has no views with images")
     cfg = cfg.replace(scene_extent=float(scene.radius))
     state = init_from_points(scene.points, scene.colors, cfg, capacity,
                              jax.random.key(seed))
-    step_fn = make_train_step(cfg, donate=False)
-    densify_jit = jax.jit(lambda s: densify_event(s, cfg))
-    rng = np.random.default_rng(seed)
+    cams = [v.camera for v in views]
     imgs = [jnp.asarray(v.image) for v in views]
-    losses: List[float] = []
-    for it in range(iterations):
-        i = rng.integers(len(views))
-        state, loss = step_fn(state, views[i].camera, imgs[i])
-        losses.append(float(loss))
-        step = it + 1
-        if (cfg.opt.densify_from_iter <= step <= cfg.opt.densify_until_iter
-                and step % cfg.opt.densification_interval == 0):
-            state = densify_jit(state)
-        if step % cfg.opt.opacity_reset_interval == 0:
-            state = state._replace(map=gm.reset_opacity(state.map))
-        if log_every and step % log_every == 0:
-            print(f"iter {step}: loss={losses[-1]:.4f} "
-                  f"active={int(gm.n_active(state.map))}")
-    return state, losses
+    return _optimize(state, cams, imgs, cfg, iterations, seed, log_every)

@@ -68,7 +68,9 @@ class SLAMPipeline:
         self.step_fn = slam_step_mod.make_slam_step(cfg, donate=False, mesh=mesh)
         self.add_fn = slam_step_mod.make_add_points(cfg, donate=False)
         self.keyframes: List[Keyframe] = []
-        self.associator = InstanceAssociator(cfg.semantics.overlap_threshold)
+        self.associator = InstanceAssociator(
+            cfg.semantics.overlap_threshold, lidar_axes=cfg.lidar_axes
+        )
         self.losses: List[float] = []
         self.train_iter = 0
         self._kf_rng = np.random.default_rng(rng_seed)

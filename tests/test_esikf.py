@@ -196,3 +196,28 @@ def test_surfel_map_counts_out_of_extent_drops():
 def test_surfel_map_init_rejects_key_overflow():
     with np.testing.assert_raises(ValueError):
         esikf.surfel_map_init(resolution=0.05, world_extent=256.0)
+
+
+def test_surfel_covariance_conditioned_far_from_origin():
+    """Anchored moments: a thin plane 60 m out keeps a clean normal.
+
+    The naive E[pp^T] - mu mu^T form in f32 carries ~1e-2 covariance noise at
+    60 m (sums ~3.6e6, f32 eps 6e-8) — the smallest eigenvalue of a plane
+    voxel must stay ~sigma_n^2, not be swamped by cancellation error.
+    """
+    rng = np.random.default_rng(3)
+    n = 2000
+    base = np.array([60.0, 58.0, 2.0], np.float32)
+    pts = base + np.stack(
+        [rng.uniform(-0.14, 0.14, n), rng.uniform(-0.14, 0.14, n),
+         rng.normal(0, 1e-3, n)], axis=1,
+    ).astype(np.float32)
+    sm = esikf.surfel_map_init(resolution=0.3, capacity=64, world_extent=128.0)
+    sm = esikf.surfel_map_update(sm, jnp.asarray(pts), jnp.ones(n, bool))
+    vm = esikf.surfel_map_voxels(sm)
+    live = np.asarray(vm.num_points) > 100
+    covs = np.asarray(vm.covs)[live]
+    w = np.linalg.eigvalsh(covs)
+    # normal-direction variance ~1e-6 (+1e-6 regularizer); in-plane ~6e-3.
+    assert float(w[:, 0].max()) < 5e-5, w[:, 0]
+    assert float(w[:, 2].min()) > 1e-3

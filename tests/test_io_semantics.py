@@ -279,3 +279,33 @@ def test_socket_stream_roundtrips_all_fields():
     np.testing.assert_array_equal(got[1].pose, ds[1].pose)
     if ds[1].imu is not None:
         np.testing.assert_array_equal(got[1].imu, ds[1].imu)
+
+
+def test_frame_queue_timeout_releases_producer():
+    """A timed-out consumer must not leak the producer thread parked in
+    Queue.put — the still-alive source's next frame would otherwise hold
+    staged device buffers forever."""
+    import time as _time
+
+    from sags_tpu.io.datasets import Frame
+
+    def mk(i):
+        return Frame(
+            image=np.zeros((3, 8, 8), np.float32),
+            points=np.zeros((4, 3), np.float32),
+            colors=np.zeros((4, 3), np.float32),
+            pose=np.eye(4, dtype=np.float32),
+            timestamp=float(i),
+        )
+
+    def stream():
+        yield mk(0)
+        _time.sleep(0.5)  # consumer times out during this silence
+        while True:  # source comes back to life and never stops
+            yield mk(1)
+
+    q = FrameQueue(stream(), point_budget=8, prefetch=1, timeout_s=0.15)
+    out = list(q)
+    assert q.timed_out and len(out) >= 1
+    q._thread.join(timeout=3.0)
+    assert not q._thread.is_alive()

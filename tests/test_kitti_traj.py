@@ -207,3 +207,14 @@ def test_run_gicp_kitti_cli(tmp_path):
     assert est.shape == (3, 12)
     # accumulated odometry translation ≈ GT (frame 2 at x=0.3)
     assert abs(est[2, 3] - 0.3) < 0.05
+
+
+def test_kitti_calib_tr_without_colon(tmp_path):
+    """KITTI devkit calib lines come both as 'Tr:' and bare 'Tr ' — the
+    colon-less form must parse, not IndexError."""
+    vals = np.arange(12, dtype=np.float64) / 10.0
+    p = tmp_path / "calib.txt"
+    p.write_text("P0: " + " ".join(["0"] * 12) + "\n"
+                 + "Tr " + " ".join(f"{v:g}" for v in vals) + "\n")
+    Tr = KITTIOdometryDataset._read_calib_tr(str(p))
+    np.testing.assert_allclose(Tr[:3, :4], vals.reshape(3, 4))

@@ -166,3 +166,21 @@ def test_odometry_quaternion_roundtrip_180deg():
         raw = rb.encode_odometry(1.5, pose)
         _, pose2 = rb.decode_odometry(raw)
         np.testing.assert_allclose(pose2[:3, :3], R, atol=1e-6)
+
+
+def test_unsupported_chunk_compression_rejected(tmp_path):
+    """An lz4-compressed chunk must fail loudly, not parse as raw bytes."""
+    bag = tmp_path / "lz4.bag"
+    with open(bag, "wb") as f:
+        f.write(rb.MAGIC)
+        f.write(rb._record(
+            {b"op": b"\x03", b"index_pos": np.uint64(0).tobytes(),
+             b"conn_count": rb._u32.pack(0), b"chunk_count": rb._u32.pack(1)},
+            b" " * 4096,
+        ))
+        f.write(rb._record(
+            {b"op": b"\x05", b"compression": b"lz4",
+             b"size": rb._u32.pack(8)}, b"\x04\x22\x4d\x18junk",
+        ))
+    with pytest.raises(ValueError, match="lz4"):
+        list(rb.read_bag(str(bag)))
