@@ -185,6 +185,10 @@ class TrackingConfig:
     opacity_threshold: float = 0.9
     downsample_resolution: float = 0.1
     max_points: int = 8192  # static-shape cap for the tracker's point budget
+    # seed ESIKF pose+velocity from one scan-to-scan GICP on the first frame
+    # pair (the filter starts at v=0; a moving platform would otherwise
+    # drift until the Kalman cross-covariance learns v)
+    esikf_bootstrap: bool = True
 
 
 @dataclass(frozen=True)

@@ -78,6 +78,7 @@ class SLAMPipeline:
         self._track_T = np.eye(4, dtype=np.float32)
         self._esikf = None
         self._track_map = None  # accumulated surfel voxel map for ESIKF
+        self._esikf_boot = None  # first scan held for the velocity bootstrap
         self._overflow_strikes = 0
 
     # ------------------------------------------------------------------
@@ -112,7 +113,7 @@ class SLAMPipeline:
         scan_p = pad(scan.astype(np.float32))
 
         if mode == "esikf":
-            return self._track_esikf(scan_p, msk, frame.imu)
+            return self._track_esikf(scan_p, msk, frame.imu, frame.timestamp)
 
         if self._prev_scan is None:
             self._prev_scan = (scan_p, msk)
@@ -132,6 +133,7 @@ class SLAMPipeline:
     def _track_esikf(
         self, scan_p: np.ndarray, msk: np.ndarray,
         imu: Optional[np.ndarray] = None,
+        timestamp: Optional[float] = None,
     ) -> np.ndarray:
         """ESIKF against an INCREMENTAL surfel voxel map: IMU mean/covariance
         propagation (when the frame carries samples) or constant-position P
@@ -145,6 +147,30 @@ class SLAMPipeline:
             self._track_map = esikf.surfel_map_init(
                 resolution=self.cfg.tracking.downsample_resolution * 3,
                 capacity=8192,
+            )
+            if self.cfg.tracking.esikf_bootstrap:
+                self._esikf_boot = (scan_p.copy(), msk.copy(), timestamp)
+        elif self._esikf_boot is not None:
+            # Velocity bootstrap: the filter starts at v=0, so a platform
+            # already moving at t=0 drifts until the Kalman cross-covariance
+            # learns v — and meanwhile bad poses poison the surfel map. One
+            # scan-to-scan GICP on the first frame pair seeds pose AND
+            # velocity (the role of FAST-LIVO2's static initialization when
+            # the platform can't be assumed stationary).
+            prev_p, prev_m, t0 = self._esikf_boot
+            self._esikf_boot = None
+            res = gicp_ops.gicp_align(
+                jnp.asarray(scan_p), jnp.asarray(prev_p), jnp.asarray(msk),
+                jnp.asarray(prev_m), jnp.eye(4), self.cfg.gicp,
+            )
+            delta = np.asarray(res.T)
+            st = self._esikf
+            dt = (timestamp - t0) if (timestamp is not None and t0 is not None
+                                      and timestamp > t0) else None
+            v = (delta[:3, 3] / dt) if dt else np.asarray(st.v)
+            self._esikf = st._replace(
+                R=jnp.asarray(delta[:3, :3]), p=jnp.asarray(delta[:3, 3]),
+                v=jnp.asarray(v.astype(np.float32)),
             )
         if imu is not None and len(imu):
             imu = np.asarray(imu, np.float32)

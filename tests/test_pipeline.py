@@ -100,3 +100,27 @@ def test_overflow_adaptive_capacity():
     pipe = SLAMPipeline(cfg, point_budget=1024, rng_seed=0)
     res = pipe.run(ds, post_train=6)
     assert pipe.cfg.raster.tile_capacity > 32, pipe.cfg.raster.tile_capacity
+
+
+@pytest.mark.slow
+def test_pipeline_esikf_velocity_bootstrap():
+    """A platform already moving at t=0: the scan-to-scan bootstrap seeds
+    pose+velocity from the first frame pair, without it the filter starts at
+    v=0 and drifts (bad early poses also poison the surfel map)."""
+    ds = list(SyntheticDataset(n_frames=6, width=96, height=64, n_world=2048,
+                               pts_per_frame=1024, clutter=0.5, step=0.25,
+                               imu_substeps=5, seed=1))
+
+    def run(boot):
+        cfg = tiny_cfg("esikf")
+        cfg = dataclasses.replace(
+            cfg, tracking=dataclasses.replace(
+                cfg.tracking, max_points=1024, esikf_bootstrap=boot))
+        pipe = SLAMPipeline(cfg, point_budget=1024, rng_seed=0)
+        res = pipe.run(ds, post_train=0)
+        return ate_rmse(res.poses_est, res.poses_gt, align=False)[0]
+
+    ate_boot = run(True)
+    ate_raw = run(False)
+    assert ate_boot < 0.5 * ate_raw, (ate_boot, ate_raw)
+    assert ate_boot < 0.12, ate_boot
