@@ -189,6 +189,10 @@ class TrackingConfig:
     # pair (the filter starts at v=0; a moving platform would otherwise
     # drift until the Kalman cross-covariance learns v)
     esikf_bootstrap: bool = True
+    # iterated point-to-plane update count: 10 converges the startup
+    # transient ~2.5x tighter than 5 (measured on the moving-start synthetic)
+    esikf_update_iters: int = 10
+    esikf_min_planarity: float = 0.1  # surfel plane-ness gate
 
 
 @dataclass(frozen=True)

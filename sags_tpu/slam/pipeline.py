@@ -189,7 +189,8 @@ class SLAMPipeline:
         if int(vm.n_voxels) > 0:
             out = esikf.scan_update(
                 self._esikf, jnp.asarray(scan_p), jnp.asarray(msk),
-                vm, num_iters=5, min_planarity=0.1,
+                vm, num_iters=self.cfg.tracking.esikf_update_iters,
+                min_planarity=self.cfg.tracking.esikf_min_planarity,
             )
             self._esikf = out.state
         # fold this scan (at the estimated pose) into the surfel map
