@@ -101,7 +101,7 @@ def fill_table(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((_ROWS, K), lambda t, s, c: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

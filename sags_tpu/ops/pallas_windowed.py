@@ -437,7 +437,7 @@ def composite_windowed_bwd(
         in_specs=[
             pl.BlockSpec((1, K_TILE // 128, 128), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, PIX, CF), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
@@ -517,7 +517,7 @@ def composite_windowed(
     in_specs = [
         pl.BlockSpec((1, K_TILE // 128, 128), lambda t, c, *_: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [table, gb]
     if NBB:
