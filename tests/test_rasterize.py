@@ -496,3 +496,22 @@ def test_store_tier_saturated_drops_counted():
         obj_features=jnp.asarray(objs), windowed=True))()
     assert int(out.overflow_big) > 0  # saturation is counted, never silent
     assert np.isfinite(np.asarray(out.color)).all()
+
+
+def test_mark_visible_frustum_cull():
+    """`mark_visible` (markVisible parity, `rasterize_points.cu:218-237`):
+    true iff the view-space depth exceeds the 0.2 near threshold
+    (`auxiliary.h:144-169`), under a non-trivial camera pose."""
+    from sags_tpu.core.transforms import so3_exp
+
+    R = np.asarray(so3_exp(jnp.asarray([0.3, -0.2, 0.5])), np.float32)
+    t = np.array([1.0, -2.0, 0.5], np.float32)
+    cam = make_camera(R, t, 64, 64, 1.2, 0.9)
+    # place points at chosen view-space depths, map them to world
+    z_view = np.array([-1.0, 0.1, 0.19, 0.21, 3.0, 50.0], np.float32)
+    pts_view = np.stack(
+        [np.linspace(-0.5, 0.5, z_view.size).astype(np.float32),
+         np.zeros_like(z_view), z_view], axis=1)
+    pts_world = pts_view @ R.T + t  # R: cam->world, t: camera center
+    vis = np.asarray(rz.mark_visible(jnp.asarray(pts_world), cam))
+    np.testing.assert_array_equal(vis, z_view > 0.2)
