@@ -25,9 +25,13 @@ def _load_dataset(args):
     from sags_tpu.io import datasets as D
 
     if args.dataset == "synthetic":
+        # clutter blobs make z observable for geometric tracking (the bare
+        # corridor's walls are all parallel — point-to-plane drifts along
+        # the axis); IMU substeps feed the ESIKF propagate path
         return list(
             D.SyntheticDataset(
-                n_frames=args.frames, width=args.width, height=args.height
+                n_frames=args.frames, width=args.width, height=args.height,
+                clutter=0.35, imu_substeps=5,
             )
         )
     if args.dataset == "tum":

@@ -28,6 +28,12 @@ class RasterizeConfig:
     # and max Gaussians composited per tile. Overflows are counted and surfaced.
     max_tiles_per_gaussian: int = 36
     tile_capacity: int = 1024
+    # overflow-adaptation ceiling for tile_capacity: the fused Pallas
+    # backward's scoped-VMEM footprint scales with K — K=2048 exceeds the
+    # 16 MB scoped-vmem limit at compile time on v5e (measured: 26.5 MB);
+    # 1024 is the proven-on-chip maximum. Past the ceiling, per-tile
+    # overflow stays counted (never silent), like the R x R window cap.
+    tile_capacity_max: int = 1024
     chunk: int = 64  # Gaussians composited per scan step (matmul K dim)
     bg_depth: float = 15.0  # background depth (`forward.cu:426-427`)
     near: float = 0.2  # frustum cull plane (`auxiliary.h:159`)

@@ -233,7 +233,7 @@ class SLAMPipeline:
             return
         r = self.cfg.raster
         kw = {}
-        if over["tile"] and r.tile_capacity < 4096:
+        if over["tile"] and r.tile_capacity * 2 <= r.tile_capacity_max:
             kw["tile_capacity"] = r.tile_capacity * 2
         if over["rect"]:
             # These metrics come from slam_step, which PINS the classic
