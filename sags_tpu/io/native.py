@@ -19,13 +19,38 @@ _LIB_PATHS = [
     "libsags_native.so",
 ]
 
-_lib = None
-for p in _LIB_PATHS:
+
+def _try_build() -> None:
+    """Build the library from source on first use (the .so is not vendored —
+    it is machine-specific; see native/Makefile). Silent no-op when no
+    toolchain or source tree is present: every binding has a pure fallback."""
+    makedir = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    if not os.path.exists(os.path.join(makedir, "Makefile")):
+        return
+    import subprocess
+
     try:
-        _lib = ctypes.CDLL(os.path.abspath(p) if os.path.sep in p else p)
-        break
-    except OSError:
-        continue
+        subprocess.run(
+            ["make", "-C", makedir], check=True, timeout=120,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+    except Exception:
+        pass
+
+
+def _load():
+    for p in _LIB_PATHS:
+        try:
+            return ctypes.CDLL(os.path.abspath(p) if os.path.sep in p else p)
+        except OSError:
+            continue
+    return None
+
+
+_lib = _load()
+if _lib is None:
+    _try_build()
+    _lib = _load()
 
 if _lib is not None:
     _lib.sags_voxel_downsample.restype = ctypes.c_int
