@@ -134,12 +134,18 @@ def cmd_run_slam(args):
         psnr = float(np.mean([s["psnr"] for s in scores])) if scores else None
     else:  # live stream: frames are consumed; no replay to evaluate against
         psnr = None
+    # steady-state loop rate: median per-frame wall time (the first frames
+    # carry XLA compiles — the wall-clock "fps" includes them, this doesn't)
+    fps_steady = (
+        1.0 / float(np.median(res.frame_times)) if res.frame_times else None
+    )
     print(
         json.dumps(
             {
                 "frames": n_frames,
                 "train_iters": res.train_iters,
                 "fps": n_frames / max(dt, 1e-9),
+                "fps_steady": fps_steady,
                 "ate_rmse": ate if np.isfinite(ate) else None,
                 "mean_psnr": psnr,
                 "keyframes": res.n_keyframes,

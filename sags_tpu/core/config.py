@@ -65,6 +65,10 @@ class RasterizeConfig:
     # (both doubled, capped at 1.0).
     windowed_mid_frac: float = 0.25
     windowed_big_frac: float = 0.125
+    # Double-buffered span-DMA prefetch in the windowed forward: tile t+1's
+    # candidate window is issued while tile t composites, hiding the copy
+    # wait behind compute (2x window VMEM). Perf A/B knob; bit-exact.
+    window_prefetch: bool = False
     # Split-precision windowed forward: the 16 obj channels ride the
     # candidate window as bf16 pairs packed in f32 rows (kernel rows 32→24:
     # 25% less DMA + select traffic). Forward-only — backward always takes

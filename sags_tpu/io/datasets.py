@@ -262,10 +262,14 @@ class SyntheticDataset:
         self.imu_substeps = imu_substeps
         self.frame_dt = frame_dt
         rng = np.random.default_rng(seed)
-        # world: gaussians on walls of a corridor along +z
-        n = n_world
+        # world: gaussians on walls of a corridor along +z. The corridor
+        # auto-extends to cover the whole trajectory (n_frames·step plus the
+        # sensor range) at constant density — a long sequence must not walk
+        # out of the world (short sequences keep the original 20 m scene).
+        length = max(20.0, n_frames * step + max_range)
+        n = int(round(n_world * length / 20.0))
         wall = rng.integers(0, 3, n)
-        t = rng.uniform(0, 20, n)
+        t = rng.uniform(0, length, n)
         h = rng.uniform(-2, 2, n)
         x = np.where(wall == 0, -2.5, np.where(wall == 1, 2.5, h))
         y = np.where(wall == 2, -2.0, h * 0.8)
@@ -282,7 +286,7 @@ class SyntheticDataset:
             n_blobs = min(max(n_cl // 30, 1), 12)
             centers = np.stack([
                 rng.uniform(-2, 2, n_blobs), rng.uniform(-1.6, 1.6, n_blobs),
-                rng.uniform(0.5, 19.5, n_blobs)], -1)
+                rng.uniform(0.5, length - 0.5, n_blobs)], -1)
             blob_id = rng.integers(0, n_blobs, n_cl)
             blob_pts = centers[blob_id] + rng.normal(0, 0.15, (n_cl, 3))
             self.world_xyz[:n_cl] = blob_pts.astype(np.float32)

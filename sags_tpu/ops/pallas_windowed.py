@@ -63,7 +63,8 @@ BIG_BASE = 8192
 
 def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
             gb_ref, *rest, tile, tiles_x, alpha_min, t_min, chunk, n_span,
-            w_blocks, n_big_blocks=0, bf16_obj=False, scan_impl="roll"):
+            w_blocks, n_big_blocks=0, bf16_obj=False, scan_impl="roll",
+            prefetch=False):
     if n_big_blocks:
         big_ref, acc_out, t_out, cand, gsel, acc_s, t_s, sems = rest
     else:
@@ -74,40 +75,53 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
     # each device holds a contiguous tile slice; toff maps local → global.
     c = pl.program_id(1)
     NC = pl.num_programs(1)
+    NT = pl.num_programs(0)
     K = chunk
     CH = gb_ref.shape[1]
     PIX = tile * tile
     CF = acc_s.shape[1]
 
+    def _span_copies(tt, buf, action):
+        """Issue (or wait for) tile tt's span DMAs into window buffer `buf`
+        (buf is None when single-buffered)."""
+        for j in range(n_span):
+            base = bases_ref[tt * n_span + j]
+            dest = dests_ref[tt * n_span + j]
+            nblk = nblks_ref[tt * n_span + j]
+            for b in range(w_blocks):
+                @pl.when(b < nblk)
+                def _():
+                    dst = (cand.at[pl.ds(dest + b, 1)] if buf is None
+                           else cand.at[buf, pl.ds(dest + b, 1)])
+                    sem = sems.at[j] if buf is None else sems.at[buf, j]
+                    cp = pltpu.make_async_copy(
+                        gb_ref.at[pl.ds(base + b, 1)], dst, sem)
+                    cp.start() if action == "start" else cp.wait()
+
     @pl.when(c == 0)
     def _():
         acc_s[...] = jnp.zeros_like(acc_s)
         t_s[...] = jnp.ones_like(t_s)
-        # span DMAs: per-128-row-block conditional copies, packed back-to-back
-        for j in range(n_span):
-            base = bases_ref[t * n_span + j]
-            dest = dests_ref[t * n_span + j]
-            nblk = nblks_ref[t * n_span + j]
-            for b in range(w_blocks):
-                @pl.when(b < nblk)
-                def _():
-                    pltpu.make_async_copy(
-                        gb_ref.at[pl.ds(base + b, 1)],
-                        cand.at[pl.ds(dest + b, 1)],
-                        sems.at[j],
-                    ).start()
-        for j in range(n_span):
-            base = bases_ref[t * n_span + j]
-            dest = dests_ref[t * n_span + j]
-            nblk = nblks_ref[t * n_span + j]
-            for b in range(w_blocks):
-                @pl.when(b < nblk)
-                def _():
-                    pltpu.make_async_copy(
-                        gb_ref.at[pl.ds(base + b, 1)],
-                        cand.at[pl.ds(dest + b, 1)],
-                        sems.at[j],
-                    ).wait()
+        if not prefetch:
+            # span DMAs: per-128-row-block conditional copies, packed
+            # back-to-back — issued and waited within this grid step
+            _span_copies(t, None, "start")
+            _span_copies(t, None, "wait")
+        else:
+            # Double-buffered prefetch: tile t's window was issued one tile
+            # ago (t=0 issues its own); issue t+1's into the other buffer so
+            # the copy overlaps this tile's NC compositing chunks, then wait
+            # only for t's. Buffer parity t%2 never collides: tile t-1's
+            # compute finished before this grid step (sequential grid).
+            @pl.when(t == 0)
+            def _():
+                _span_copies(t, t % 2, "start")
+
+            @pl.when(t + 1 < NT)
+            def _():
+                _span_copies(t + 1, (t + 1) % 2, "start")
+
+            _span_copies(t, t % 2, "wait")
 
     # chunk skip: past the tile's queue, or every pixel saturated (the CUDA
     # per-pixel early exit `forward.cu:372-389` at chunk granularity)
@@ -131,7 +145,8 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
             # NaN·0 would poison a sum. Measured identical speed anyway.
             sel = jnp.zeros((CH, 128), jnp.float32)
             for b in range(w_blocks):
-                g_b = jnp.take_along_axis(cand[b], idxmod, axis=1)
+                src = cand[b] if not prefetch else cand[t % 2, b]
+                g_b = jnp.take_along_axis(src, idxmod, axis=1)
                 sel = jnp.where((hi == b)[None, :], g_b, sel)
             if n_big_blocks:
                 # store-tier lanes: ids >= BIG_BASE select from the per-tile
@@ -470,7 +485,7 @@ def composite_windowed_bwd(
     jax.jit,
     static_argnames=("n_feat", "tile", "tiles_x", "alpha_min", "t_min",
                      "chunk", "n_span", "w_blocks", "interpret", "bf16_obj",
-                     "scan_impl"),
+                     "scan_impl", "prefetch"),
 )
 def composite_windowed(
     gb: jax.Array,      # [NB_total, CH, 128] anchor-sorted blocked row store
@@ -490,6 +505,7 @@ def composite_windowed(
     interpret: bool = False,
     bf16_obj: bool = False,
     scan_impl: str = "roll",
+    prefetch: bool = False,  # double-buffered window DMA (issue t+1 at t)
     tile_offset=None,  # global id of local tile 0 (shard_map slices)
     big: jax.Array | None = None,  # [NT, NBB, CH, 128] per-tile big blocks
 ):
@@ -512,7 +528,7 @@ def composite_windowed(
     kern = functools.partial(
         _kernel, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min, t_min=t_min,
         chunk=K, n_span=n_span, w_blocks=w_blocks, n_big_blocks=NBB,
-        bf16_obj=bf16_obj, scan_impl=scan_impl,
+        bf16_obj=bf16_obj, scan_impl=scan_impl, prefetch=prefetch,
     )
     in_specs = [
         pl.BlockSpec((1, K_TILE // 128, 128), lambda t, c, *_: (t, 0, 0),
@@ -537,11 +553,13 @@ def composite_windowed(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((w_blocks, CH, 128), jnp.float32),
+            (pltpu.VMEM((2, w_blocks, CH, 128), jnp.float32) if prefetch
+             else pltpu.VMEM((w_blocks, CH, 128), jnp.float32)),
             pltpu.VMEM((CH, K), jnp.float32),
             pltpu.VMEM((PIX, CF), jnp.float32),
             pltpu.VMEM((PIX, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((n_span,)),
+            (pltpu.SemaphoreType.DMA((2, n_span)) if prefetch
+             else pltpu.SemaphoreType.DMA((n_span,))),
         ],
     )
     acc, T = pl.pallas_call(

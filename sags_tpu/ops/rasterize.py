@@ -967,8 +967,9 @@ def _composite_windowed_with_xla_vjp(
             cfg.tile, tiles_x, alpha_min=cfg.alpha_min,
             t_min=cfg.transmittance_min, chunk=K_chunk, n_span=R, w_blocks=NB,
             interpret=interpret, bf16_obj=bf16_obj,
-            scan_impl=getattr(cfg, "scan_impl", "roll"), tile_offset=toff,
-            big=big,
+            scan_impl=getattr(cfg, "scan_impl", "roll"),
+            prefetch=bool(getattr(cfg, "window_prefetch", False)),
+            tile_offset=toff, big=big,
         )
         if bf16_obj:
             # kernel acc columns: rgb(0:3) dz0,A,B,1(3:7) pad(7) obj(8:24)

@@ -49,6 +49,9 @@ class PipelineResult:
     losses: List[float]
     state: slam_step_mod.SLAMState
     timed_out: bool = False  # stream ended by cfg.timeout_s silence
+    # wall-clock per consumed frame (track+grow+mask+train); the first
+    # frames carry XLA compiles — report median for the steady-state rate
+    frame_times: List[float] = dataclasses.field(default_factory=list)
 
 
 class SLAMPipeline:
@@ -307,8 +310,10 @@ class SLAMPipeline:
         q = FrameQueue(frames, self.point_budget, prefetch=2,
                        timeout_s=cfg.timeout_s)
         frame_idx = 0
+        frame_times: List[float] = []
 
         for df, frame in q:
+            t_frame = time.perf_counter()
             pose = self._track(frame)
             poses_est.append(pose)
             poses_gt.append(np.asarray(frame.pose))
@@ -334,6 +339,7 @@ class SLAMPipeline:
             elif cfg.keyframes.replay and self.keyframes:
                 kf = self.keyframes[self._kf_rng.integers(len(self.keyframes))]
                 self._train_once(kf)
+            frame_times.append(time.perf_counter() - t_frame)
             frame_idx += 1
 
         # post-training on random keyframes (`:938-1013`)
@@ -352,6 +358,7 @@ class SLAMPipeline:
             losses=self.losses,
             state=self.state,
             timed_out=q.timed_out,
+            frame_times=frame_times,
         )
 
     def evaluate(self, frames: Iterable[Frame], every: int = 1):

@@ -358,6 +358,16 @@ def test_windowed_interpret_matches_xla_cpu():
     np.testing.assert_array_equal(np.asarray(op.color), np.asarray(ow.color))
     np.testing.assert_array_equal(np.asarray(op.final_T), np.asarray(ow.final_T))
 
+    # window_prefetch (double-buffered span DMA) is bit-exact vs the
+    # single-buffered window
+    cfg_pf = dataclasses.replace(cfg, window_prefetch=True)
+    opf = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg_pf, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    np.testing.assert_array_equal(np.asarray(opf.color), np.asarray(ow.color))
+    np.testing.assert_array_equal(np.asarray(opf.final_T),
+                                  np.asarray(ow.final_T))
+
     def make_loss(windowed, fused):
         def loss(m):
             r = rz.rasterize(m, A[1], A[2], A[3], cam, cfg, colors=A[4],
