@@ -80,6 +80,16 @@ class RasterizeConfig:
     # "pad" = static shift-fill-1 concat slices (no masks) + [PIX,1] pixel
     # coords. Numerically identical; a perf A/B knob.
     scan_impl: str = "roll"
+    # Compositing chunk (K lanes per grid step) of the windowed kernels —
+    # must be a multiple of 128 dividing tile_capacity (auto-clamped).
+    # Perf A/B knob: larger K = fewer chunk boundaries (scratch RMW, skip
+    # tests), smaller K = finer early-exit/count-skip granularity.
+    windowed_chunk: int = 256
+    # PERF DIAGNOSIS ONLY — renders garbage when non-empty. Disables one
+    # kernel stage to time its cost (tools/ablate_windowed.py):
+    # "nosel" single-block select · "noscan" skip exclusive product ·
+    # "nomath" skip EWA alpha math · "nomatmul" skip the feature matmul.
+    window_ablate: str = ""
     # Store tier — FULL-coverage windowed rendering for big-rect Gaussians.
     # The span window fundamentally caps coverage at the R×R binning window
     # (R = √max_tiles_per_gaussian); Gaussians with a larger screen rect

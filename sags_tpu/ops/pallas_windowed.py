@@ -64,7 +64,7 @@ BIG_BASE = 8192
 def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
             gb_ref, *rest, tile, tiles_x, alpha_min, t_min, chunk, n_span,
             w_blocks, n_big_blocks=0, bf16_obj=False, scan_impl="roll",
-            prefetch=False):
+            prefetch=False, ablate=""):
     if n_big_blocks:
         big_ref, acc_out, t_out, cand, gsel, acc_s, t_s, sems = rest
     else:
@@ -144,7 +144,8 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
             # of never-DMA'd window blocks are uninitialized VMEM, and
             # NaN·0 would poison a sum. Measured identical speed anyway.
             sel = jnp.zeros((CH, 128), jnp.float32)
-            for b in range(w_blocks):
+            # ablate="nosel": one gather instead of w_blocks (timing only)
+            for b in range(1 if ablate == "nosel" else w_blocks):
                 src = cand[b] if not prefetch else cand[t % 2, b]
                 g_b = jnp.take_along_axis(src, idxmod, axis=1)
                 sel = jnp.where((hi == b)[None, :], g_b, sel)
@@ -176,10 +177,14 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
             pix_row = jax.lax.broadcasted_iota(jnp.int32, (PIX, K), 0)
             px = base_x + (pix_row % tile).astype(jnp.float32)
             py = base_y + (pix_row // tile).astype(jnp.float32)
-        dx = g[0:1, :] - px
-        dy = g[1:2, :] - py
-        power = -0.5 * (g[2:3, :] * dx * dx + g[4:5, :] * dy * dy) - g[3:4, :] * dx * dy
-        alpha = jnp.minimum(0.99, g[5:6, :] * jnp.exp(power))
+        if ablate == "nomath":  # skip the EWA alpha math (timing only)
+            alpha = jnp.broadcast_to(g[5:6, :] * 0.01, (PIX, K))
+            power = jnp.zeros((PIX, K), jnp.float32) - 0.5
+        else:
+            dx = g[0:1, :] - px
+            dy = g[1:2, :] - py
+            power = -0.5 * (g[2:3, :] * dx * dx + g[4:5, :] * dy * dy) - g[3:4, :] * dx * dy
+            alpha = jnp.minimum(0.99, g[5:6, :] * jnp.exp(power))
         # No in-count gate needed (unlike pallas_composite._kernel, whose
         # clamped gather duplicates row 0 into empty lanes): lanes beyond
         # the tile's queue — and window-overflow drops — carry
@@ -189,7 +194,9 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
         a = jnp.where(gate, alpha, 0.0)
         om = 1.0 - a
         # exclusive prefix product (see pallas_composite._kernel)
-        if scan_impl == "pad":
+        if ablate == "noscan":  # skip the Hillis-Steele product (timing only)
+            inc = jnp.broadcast_to(om[:, :1], (PIX, K))
+        elif scan_impl == "pad":
             # Shift-fill-1 Hillis-Steele: each step reads the sh-right-shifted
             # product through a static concat slice (out-of-range lanes take
             # 1.0 from the pad), dropping the per-step lane-iota mask and the
@@ -231,6 +238,9 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
                 preferred_element_type=jnp.float32,
             )
             acc_s[...] += jnp.concatenate([acc_f, acc_o], axis=1)
+        elif ablate == "nomatmul":  # skip the feature matmul (timing only);
+            # the [PIX,CF] slice-add still consumes w so the rest survives DCE
+            acc_s[...] += w[:, :CF]
         else:
             acc_s[...] += jax.lax.dot_general(
                 w, g[HDR:HDR + CF, :], (((1,), (1,)), ((), ())),
@@ -485,7 +495,7 @@ def composite_windowed_bwd(
     jax.jit,
     static_argnames=("n_feat", "tile", "tiles_x", "alpha_min", "t_min",
                      "chunk", "n_span", "w_blocks", "interpret", "bf16_obj",
-                     "scan_impl", "prefetch"),
+                     "scan_impl", "prefetch", "ablate"),
 )
 def composite_windowed(
     gb: jax.Array,      # [NB_total, CH, 128] anchor-sorted blocked row store
@@ -506,6 +516,7 @@ def composite_windowed(
     bf16_obj: bool = False,
     scan_impl: str = "roll",
     prefetch: bool = False,  # double-buffered window DMA (issue t+1 at t)
+    ablate: str = "",  # PERF DIAGNOSIS ONLY — disables a kernel stage
     tile_offset=None,  # global id of local tile 0 (shard_map slices)
     big: jax.Array | None = None,  # [NT, NBB, CH, 128] per-tile big blocks
 ):
@@ -529,6 +540,7 @@ def composite_windowed(
         _kernel, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min, t_min=t_min,
         chunk=K, n_span=n_span, w_blocks=w_blocks, n_big_blocks=NBB,
         bf16_obj=bf16_obj, scan_impl=scan_impl, prefetch=prefetch,
+        ablate=ablate,
     )
     in_specs = [
         pl.BlockSpec((1, K_TILE // 128, 128), lambda t, c, *_: (t, 0, 0),

@@ -919,7 +919,9 @@ def _composite_windowed_with_xla_vjp(
     R = int(round(cfg.max_tiles_per_gaussian ** 0.5))
     NB = cfg.window_blocks
     K_TILE = cfg.tile_capacity
-    K_chunk = 256 if K_TILE % 256 == 0 else 128
+    K_chunk = int(getattr(cfg, "windowed_chunk", 256))
+    if K_chunk % 128 != 0 or K_TILE % K_chunk != 0:
+        K_chunk = 256 if K_TILE % 256 == 0 else 128
     K_chunk = min(K_chunk, K_TILE)
     CF_in = 24  # feature rows 8..31 (incl. the zero pad row)
     P = G_s.shape[0]
@@ -969,6 +971,7 @@ def _composite_windowed_with_xla_vjp(
             interpret=interpret, bf16_obj=bf16_obj,
             scan_impl=getattr(cfg, "scan_impl", "roll"),
             prefetch=bool(getattr(cfg, "window_prefetch", False)),
+            ablate=str(getattr(cfg, "window_ablate", "")),
             tile_offset=toff, big=big,
         )
         if bf16_obj:
