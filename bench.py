@@ -8,8 +8,14 @@ records both in one run. Baselines: 30 FPS at 720p render, 10 Hz map-opt
 (BASELINE.md — the reference publishes no numbers; these are the north-star
 gates).
 
+The headline render is the EXACT-coverage mode (slice store + tight rect:
+every alpha-gate-passing pair composited — the reference's dynamic
+num_rendered completeness contract); the capped tiered mode rides along in
+`fast_*` fields with its coverage caveat.
+
 Env knobs: SAGS_BENCH_GAUSSIANS (default 262144), SAGS_BENCH_W/H (1280x720),
-SAGS_BENCH_ITERS (20), SAGS_BENCH_MODE (render|train|both; default both).
+SAGS_BENCH_ITERS (20), SAGS_BENCH_MODE (render|train|both; default both),
+SAGS_BENCH_FAST=1 (headline the capped mode instead).
 """
 
 from __future__ import annotations
@@ -147,72 +153,90 @@ def main():
 
     cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
                       W, H, 1.2, 0.75)
-    cfg = RasterizeConfig(
+    # HEADLINE = EXACT-coverage rendering: every pair the compositing alpha
+    # gate accepts is composited (slice store on, tight rect) — the same
+    # completeness contract as the reference's dynamic num_rendered
+    # (`rasterizer_impl.cu:288-294`). SAGS_BENCH_FAST=1 measures the capped
+    # tiered mode instead (R×R window, drops counted; tools/exactness_check
+    # puts its image ~19.7 dB PSNR from exact at this operating point) —
+    # the default run also reports that mode in `fast_*` fields.
+    exact_cfg = RasterizeConfig(
         max_tiles_per_gaussian=16, tile_capacity=tile_capacity, chunk=chunk,
-        remat=False,
-        # SAGS_BENCH_EXACT=1 → store-tier FULL-coverage rendering (every
-        # alpha-live pair composited, reference-exact; ~45% slower at this
-        # operating point — see docs/PERFORMANCE.md "Store tier").
-        windowed_big_capacity=(
-            256 if os.environ.get("SAGS_BENCH_EXACT", "") == "1" else 0
-        ),
+        remat=False, windowed_big_capacity=256,
     )
+    fast_cfg = RasterizeConfig(
+        max_tiles_per_gaussian=16, tile_capacity=tile_capacity, chunk=chunk,
+        remat=False, windowed_big_capacity=0,
+    )
+    fast_only = os.environ.get("SAGS_BENCH_FAST", "") == "1"
+    cfg = fast_cfg if fast_only else exact_cfg
 
     args = tuple(jnp.asarray(a) for a in (means, opac, scales, quats, colors, objs))
-
-    @jax.jit
-    def render(means, opac, scales, quats, colors, objs):
-        out = rz.rasterize(means, opac, scales, quats, cam, cfg,
-                           colors=colors, obj_features=objs)
-        # checksum forces full-frame completion on value fetch
-        return (out.color.sum(), out.n_binned, out.overflow_tile,
-                out.overflow_rect, out.overflow_window, out.overflow_big)
-
-    # compile + warmup
-    out = render(*args)
-    float(out[0])
-    n_binned = int(out[1])
-    # rect = the static MT=R*R window cap (identical semantics to the
-    # classic path and every round-1 number); tile/window/big are the
-    # windowed path's capacity counters (pipeline-adapted in SLAM runs).
-    overflow = (f"tile={int(out[2])},rect={int(out[3])},"
-                f"window={int(out[4])},big={int(out[5])}")
-    # vary inputs + VALUE-FETCH sync per frame, minus the tunnel RTT
-    # baseline. The shared tunnel/chip shows multi-minute slow phases
-    # (identical program measured 30.7 and 33.4 ms in different sessions),
-    # so run 3 passes with fresh RTT baselines and take the best median —
-    # min-time across repetitions is the standard de-noising for external
-    # interference and measures the program, not the infrastructure.
     variants = [
         (args[0], args[1] * (1.0 - 0.001 * v), *args[2:]) for v in range(4)
     ]
-    best_dt, rtt = None, None
-    for _ in range(3):
-        rtt_p = measure_rtt()
-        times = []
-        for i in range(iters):
-            t0 = time.perf_counter()
-            out = render(*variants[i % 4])
-            float(out[0])
-            times.append(time.perf_counter() - t0)
-        dt_p = max(float(np.median(times)) - rtt_p, 1e-6)
-        if best_dt is None or dt_p < best_dt:
-            best_dt, rtt = dt_p, rtt_p
-    dt = best_dt
+
+    def bench_cfg(c, passes=3):
+        @jax.jit
+        def render(means, opac, scales, quats, colors, objs):
+            out = rz.rasterize(means, opac, scales, quats, cam, c,
+                               colors=colors, obj_features=objs)
+            # checksum forces full-frame completion on value fetch
+            return (out.color.sum(), out.n_binned, out.overflow_tile,
+                    out.overflow_rect, out.overflow_window, out.overflow_big)
+
+        out = render(*args)  # compile + warmup
+        float(out[0])
+        n_binned = int(out[1])
+        overflow = (f"tile={int(out[2])},rect={int(out[3])},"
+                    f"window={int(out[4])},big={int(out[5])}")
+        # vary inputs + VALUE-FETCH sync per frame, minus the tunnel RTT
+        # baseline. The shared tunnel/chip shows multi-minute slow phases
+        # (identical program measured 30.7 and 33.4 ms in different
+        # sessions), so run several passes with fresh RTT baselines and
+        # take the best median — min-time across repetitions de-noises
+        # external interference and measures the program.
+        best_dt, rtt = None, None
+        for _ in range(passes):
+            rtt_p = measure_rtt()
+            times = []
+            for i in range(iters):
+                t0 = time.perf_counter()
+                o = render(*variants[i % 4])
+                float(o[0])
+                times.append(time.perf_counter() - t0)
+            dt_p = max(float(np.median(times)) - rtt_p, 1e-6)
+            if best_dt is None or dt_p < best_dt:
+                best_dt, rtt = dt_p, rtt_p
+        return best_dt, rtt, n_binned, overflow
+
+    dt, rtt, n_binned, overflow = bench_cfg(cfg)
     fps = 1.0 / dt
 
     result = {
-        "metric": f"720p_render_fps_{P//1024}k_gaussians",
+        "metric": f"720p_render_fps_{P//1024}k_gaussians"
+                  + ("" if fast_only else "_exact"),
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
+        "coverage": "capped" if fast_only else "exact",
     }
     print(
         f"# {W}x{H}, {P} gaussians, {n_binned} binned pairs, overflow={overflow}, "
         f"{dt*1000:.1f} ms/frame device (+{rtt*1000:.1f} ms tunnel RTT), "
-        f"device={jax.devices()[0].platform}",
+        f"device={jax.devices()[0].platform}; baseline 30 FPS is the v5e-8 "
+        f"north star, measured here on ONE chip",
         file=sys.stderr,
     )
+    if not fast_only:
+        # secondary: the capped tiered mode (fast, drops counted+adapted)
+        dt_f, _, nb_f, ov_f = bench_cfg(fast_cfg, passes=2)
+        result["fast_value"] = round(1.0 / dt_f, 2)
+        result["fast_coverage_note"] = (
+            "capped R-window mode; exactness_check PSNR vs exact ~19.7 dB "
+            "at this operating point")
+        print(f"# fast mode: {nb_f} binned, overflow={ov_f}, "
+              f"{dt_f*1000:.1f} ms/frame", file=sys.stderr)
     if mode == "both":
         try:
             train = bench_train(emit=False)

@@ -40,6 +40,12 @@ class RasterizeConfig:
     alpha_min: float = 1.0 / 255.0
     transmittance_min: float = 1e-4
     low_pass: float = 0.3  # EWA dilation (`forward.cu:114-115`)
+    # Bin each Gaussian into the intersection of the reference's 3σ circle
+    # bbox and the exact alpha-cull level-set bbox (w = c·√Σ_axis,
+    # c² = 2·ln(opac/α_min)) — image-exact (dropped pairs fail the per-pixel
+    # alpha gate everywhere) but far fewer pairs for anisotropic/low-opacity
+    # splats. False restores the circle rect (`auxiliary.h:51-61` parity).
+    tight_rect: bool = True
     scale_modifier: float = 1.0
     remat: bool = True  # rematerialize compositing chunks in backward
     pallas_backward: bool = True  # fused Pallas compositing backward on TPU
@@ -85,33 +91,38 @@ class RasterizeConfig:
     # Perf A/B knob: larger K = fewer chunk boundaries (scratch RMW, skip
     # tests), smaller K = finer early-exit/count-skip granularity.
     windowed_chunk: int = 256
+    # EWA alpha evaluation in the windowed forward: "vpu" = longhand
+    # [PIX,K] maps (bit-exact vs the XLA path); "quad" = evaluate the
+    # quadratic via a [PIX,6]@[6,K] monomial-basis matmul on tile-local
+    # coordinates (~1e-3 absolute power tolerance — forward-only perf mode;
+    # backward always recomputes longhand).
+    ewa_impl: str = "vpu"
     # PERF DIAGNOSIS ONLY — renders garbage when non-empty. Disables one
     # kernel stage to time its cost (tools/ablate_windowed.py):
     # "nosel" single-block select · "noscan" skip exclusive product ·
     # "nomath" skip EWA alpha math · "nomatmul" skip the feature matmul.
     window_ablate: str = ""
-    # Store tier — FULL-coverage windowed rendering for big-rect Gaussians.
+    # Slice store — FULL-coverage windowed rendering for big-rect Gaussians.
     # The span window fundamentally caps coverage at the R×R binning window
     # (R = √max_tiles_per_gaussian); Gaussians with a larger screen rect
     # lose their outer (still alpha-live) tiles there. With
-    # `windowed_big_capacity` > 0 (multiple of 128), rect > R Gaussians
-    # instead expand through wide static offset sub-tiers into the same
-    # depth-sorted table (payload-tagged), a second small sort builds a
-    # per-tile depth-ordered big list of up to `windowed_big_capacity`
-    # pairs whose packed rows are gathered once ([NT, K_BIG] rows), and the
-    # kernel selects those lanes from the streamed block — coverage becomes
-    # exact for rect ≤ `windowed_store_max_rect`. Costs one row gather +
-    # one extra sort (~25-35% render time at the 720p bench point); 0 keeps
-    # the fast tiered mode (drops counted in overflow_rect/overflow_big and
-    # pipeline-adapted to this knob).
+    # `windowed_big_capacity` > 0, a rect > R Gaussian is REPLICATED as
+    # copy rows anchored every R tiles, each carrying one ≤R×R slice of the
+    # parent rect in its packed rect columns — ordinary candidates of the
+    # anchor-sorted stream, so the span-DMA kernels (forward AND backward)
+    # need no extra machinery and coverage becomes exact for rect ≤
+    # `windowed_store_max_rect` (gradients fold back to parents through the
+    # copy gather's transpose). Costs extra anchor rows + pair-sort lanes
+    # (~30% render time at the 720p bench point); 0 keeps the fast tiered
+    # mode (drops counted in overflow_rect/overflow_big, pipeline-adapted
+    # to this knob, which acts as the on-switch).
     windowed_big_capacity: int = 0
     windowed_store_max_rect: int = 16
-    # Store sub-tiers: (max_rect_side, fraction of P buffered). A rect>R
-    # Gaussian lands in the first sub-tier whose side covers it; buffer
-    # saturation falls back to the classic (windowed, R×R-capped) tiers and
-    # is counted in overflow_big.
-    windowed_store_fracs: tuple = ((6, 0.05), (8, 0.02), (12, 0.008),
-                                   (16, 0.002))
+    # Slice sub-tiers: (max_rect_side, fraction of P buffered). A rect>R
+    # Gaussian lands in the first sub-tier whose side covers it and gets
+    # ceil(side/R)² copy rows; buffer saturation falls back to the classic
+    # (windowed, R×R-capped) tiers and is counted in overflow_big.
+    windowed_store_fracs: tuple = ((8, 0.08), (16, 0.004))
 
 
 @dataclass(frozen=True)

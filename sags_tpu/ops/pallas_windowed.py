@@ -52,24 +52,15 @@ COL_RECT_W = 34
 COL_RECT_H = 35
 COL_DQ = 36
 COL_RCULL2 = 37  # exact alpha-cull radius² (rasterize.preprocess)
+COL_STORE = 38  # 1.0 marks a slice-store copy row (rasterize._prepare_windowed)
 WIDE_CH = 40
-
-# table_local ids >= BIG_BASE address the per-tile big-pair candidate block
-# (depth-ordered rows of store-tier Gaussians, pre-gathered host-side) instead
-# of the span window: lane i selects big block (id-BIG_BASE)//128, column
-# (id-BIG_BASE)%128. Window ids stay < w_blocks*128, so w_blocks < 64.
-BIG_BASE = 8192
 
 
 def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
             gb_ref, *rest, tile, tiles_x, alpha_min, t_min, chunk, n_span,
-            w_blocks, n_big_blocks=0, bf16_obj=False, scan_impl="roll",
-            prefetch=False, ablate=""):
-    if n_big_blocks:
-        big_ref, acc_out, t_out, cand, gsel, acc_s, t_s, sems = rest
-    else:
-        big_ref = None
-        acc_out, t_out, cand, gsel, acc_s, t_s, sems = rest
+            w_blocks, bf16_obj=False, scan_impl="roll",
+            prefetch=False, ablate="", ewa_impl="vpu"):
+    acc_out, t_out, cand, gsel, acc_s, t_s, sems = rest
     t = pl.program_id(0)
     tg = t + toff_ref[0]  # GLOBAL tile id (pixel coords) — under shard_map
     # each device holds a contiguous tile slice; toff maps local → global.
@@ -149,18 +140,6 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
                 src = cand[b] if not prefetch else cand[t % 2, b]
                 g_b = jnp.take_along_axis(src, idxmod, axis=1)
                 sel = jnp.where((hi == b)[None, :], g_b, sel)
-            if n_big_blocks:
-                # store-tier lanes: ids >= BIG_BASE select from the per-tile
-                # depth-ordered big candidate block (streamed VMEM input;
-                # big ids never match the window chain: hi >= 64 > w_blocks)
-                is_bg = idxb >= BIG_BASE
-                bidx = idxb - BIG_BASE
-                hi_b = bidx // 128
-                lo_b = jnp.where(is_bg, bidx % 128, 0)
-                idxmod_b = jnp.broadcast_to(lo_b[None, :], (CH, 128))
-                for b in range(n_big_blocks):
-                    g_b = jnp.take_along_axis(big_ref[0, b], idxmod_b, axis=1)
-                    sel = jnp.where((is_bg & (hi_b == b))[None, :], g_b, sel)
             gsel[:, pl.ds(kb * 128, 128)] = sel
 
         g = gsel[...]
@@ -180,6 +159,43 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
         if ablate == "nomath":  # skip the EWA alpha math (timing only)
             alpha = jnp.broadcast_to(g[5:6, :] * 0.01, (PIX, K))
             power = jnp.zeros((PIX, K), jnp.float32) - 0.5
+        elif ewa_impl == "quad":
+            # Expand the EWA quadratic around the tile origin and evaluate
+            # all six monomials with ONE [PIX,6]@[6,K] matmul: ~10 cheap
+            # [1,K] row ops replace ~9 [PIX,K] VPU maps. Tile-LOCAL means
+            # keep the expansion well-conditioned (|u|,|mx| ≤ R·tile, so
+            # the c0/c1·u/c3·u² cancellation stays ~1e-3 absolute — a
+            # global-coordinate expansion would lose ~5 digits).
+            Ar, Br, Cr = g[2:3, :], g[3:4, :], g[4:5, :]
+            mx = g[0:1, :] - base_x
+            my = g[1:2, :] - base_y
+            coeffs = jnp.concatenate([
+                -0.5 * (Ar * mx * mx + Cr * my * my) - Br * mx * my,
+                Ar * mx + Br * my,
+                Cr * my + Br * mx,
+                -0.5 * Ar,
+                -Br,
+                -0.5 * Cr,
+            ], axis=0)  # [6, K]
+            pc6 = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+            u = (pc6 % tile).astype(jnp.float32)
+            v = (pc6 // tile).astype(jnp.float32)
+            basis = jnp.concatenate(
+                [jnp.ones_like(u), u, v, u * u, u * v, v * v], axis=1
+            )  # [PIX, 6] — static per tile
+            power = jax.lax.dot_general(
+                basis, coeffs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            # expansion noise (~1e-3 abs) must not flip the power<=0 gate at
+            # a Gaussian's center (where power==0 exactly in the longhand
+            # form): clamp alpha's exponent, keep the degenerate-conic guard
+            # with matching slack
+            alpha = jnp.minimum(
+                0.99, g[5:6, :] * jnp.exp(jnp.minimum(power, 0.0))
+            )
+            power = jnp.minimum(power, jnp.where(power <= 0.01, 0.0, power))
         else:
             dx = g[0:1, :] - px
             dy = g[1:2, :] - py
@@ -495,7 +511,7 @@ def composite_windowed_bwd(
     jax.jit,
     static_argnames=("n_feat", "tile", "tiles_x", "alpha_min", "t_min",
                      "chunk", "n_span", "w_blocks", "interpret", "bf16_obj",
-                     "scan_impl", "prefetch", "ablate"),
+                     "scan_impl", "prefetch", "ablate", "ewa_impl"),
 )
 def composite_windowed(
     gb: jax.Array,      # [NB_total, CH, 128] anchor-sorted blocked row store
@@ -517,8 +533,8 @@ def composite_windowed(
     scan_impl: str = "roll",
     prefetch: bool = False,  # double-buffered window DMA (issue t+1 at t)
     ablate: str = "",  # PERF DIAGNOSIS ONLY — disables a kernel stage
+    ewa_impl: str = "vpu",  # "vpu" longhand | "quad" 6-basis MXU expansion
     tile_offset=None,  # global id of local tile 0 (shard_map slices)
-    big: jax.Array | None = None,  # [NT, NBB, CH, 128] per-tile big blocks
 ):
     """Returns (accum [NT, PIX, n_feat], T_final [NT, PIX])."""
     NT = table.shape[0]
@@ -529,8 +545,6 @@ def composite_windowed(
     NC = K_TILE // K
     PIX = tile * tile
     CF = n_feat
-    NBB = 0 if big is None else big.shape[1]
-    assert w_blocks * 128 < BIG_BASE and NBB * 128 < BIG_BASE
 
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
@@ -538,9 +552,9 @@ def composite_windowed(
         tile_offset = jnp.asarray(tile_offset, jnp.int32).reshape(1)
     kern = functools.partial(
         _kernel, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min, t_min=t_min,
-        chunk=K, n_span=n_span, w_blocks=w_blocks, n_big_blocks=NBB,
+        chunk=K, n_span=n_span, w_blocks=w_blocks,
         bf16_obj=bf16_obj, scan_impl=scan_impl, prefetch=prefetch,
-        ablate=ablate,
+        ablate=ablate, ewa_impl=ewa_impl,
     )
     in_specs = [
         pl.BlockSpec((1, K_TILE // 128, 128), lambda t, c, *_: (t, 0, 0),
@@ -548,12 +562,6 @@ def composite_windowed(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [table, gb]
-    if NBB:
-        in_specs.append(
-            pl.BlockSpec((1, NBB, CH, 128), lambda t, c, *_: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        inputs.append(big)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(NT, NC),

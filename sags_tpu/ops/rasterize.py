@@ -230,12 +230,40 @@ def preprocess(
     )
     rcull2 = jnp.maximum(rcull2, 0.0)
 
-    # Tile rect (`auxiliary.h:51-61`)
+    # Tight rect: intersect the reference's 3σ circle bbox with the axis
+    # bbox of the exact alpha-cull level set {dᵀΣ⁻¹d = c²}, whose
+    # half-widths are w_x = c·√Σxx, w_y = c·√Σyy (c² = 2·ln(opac/α_min)).
+    # Every pair outside has alpha < α_min at all pixels — the per-pixel
+    # gate (ours AND the reference's skip, `forward.cu:358-360`) zeroes it,
+    # so dropping it from binning is image-exact while anisotropic and
+    # low-opacity Gaussians touch far fewer tiles than the circle bbox
+    # (`auxiliary.h:51-61` bins the full circle rect; its extra pairs
+    # composite exactly zero). `cfg.tight_rect=False` restores circle rects.
     t = float(cfg.tile)
-    rmin_x = jnp.clip(jnp.floor((mean_x - radius) / t), 0, tiles_x).astype(jnp.int32)
-    rmin_y = jnp.clip(jnp.floor((mean_y - radius) / t), 0, tiles_y).astype(jnp.int32)
-    rmax_x = jnp.clip(jnp.floor((mean_x + radius + t - 1) / t), 0, tiles_x).astype(jnp.int32)
-    rmax_y = jnp.clip(jnp.floor((mean_y + radius + t - 1) / t), 0, tiles_y).astype(jnp.int32)
+    if getattr(cfg, "tight_rect", True):
+        # No 3σ cap: the level set reaches c·√λ ≤ 3.33σ for opac→1
+        # (c² = 2·ln(opac/α_min) ≤ 2·ln 255), so the bbox stays bounded and
+        # covers the faint 3σ..3.33σ shell the reference's circle rect
+        # truncates — gate-exact instead of truncation-faithful.
+        c2 = rcull2 / jnp.maximum(lam, 1e-12)
+        w_x = jnp.sqrt(c2 * jnp.maximum(cxx, 0.0))
+        w_y = jnp.sqrt(c2 * jnp.maximum(cyy, 0.0))
+        # Exact pixel→tile bounds for FRACTIONAL w: live pixels p satisfy
+        # mean−w ≤ p ≤ mean+w, so the inclusive tile range is
+        # [floor((mean−w)/t), floor((mean+w)/t)] — the reference's
+        # `(x + r + t−1)/t` idiom is only a true ceiling for integer r and
+        # drops the edge tile when mean+w lands inside it (measured: a live
+        # alpha=0.09 pixel one column past the truncated bound).
+        rmin_x = jnp.clip(jnp.floor((mean_x - w_x) / t), 0, tiles_x).astype(jnp.int32)
+        rmin_y = jnp.clip(jnp.floor((mean_y - w_y) / t), 0, tiles_y).astype(jnp.int32)
+        rmax_x = jnp.clip(jnp.floor((mean_x + w_x) / t) + 1, 0, tiles_x).astype(jnp.int32)
+        rmax_y = jnp.clip(jnp.floor((mean_y + w_y) / t) + 1, 0, tiles_y).astype(jnp.int32)
+    else:
+        # Tile rect (`auxiliary.h:51-61`)
+        rmin_x = jnp.clip(jnp.floor((mean_x - radius) / t), 0, tiles_x).astype(jnp.int32)
+        rmin_y = jnp.clip(jnp.floor((mean_y - radius) / t), 0, tiles_y).astype(jnp.int32)
+        rmax_x = jnp.clip(jnp.floor((mean_x + radius + t - 1) / t), 0, tiles_x).astype(jnp.int32)
+        rmax_y = jnp.clip(jnp.floor((mean_y + radius + t - 1) / t), 0, tiles_y).astype(jnp.int32)
     tiles_touched = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 
     valid = in_front & det_ok & (tiles_touched > 0)
@@ -286,6 +314,45 @@ def _depth_quant(pre: Preprocessed) -> jax.Array:
     ).astype(jnp.int32)
 
 
+def _tile_qmin(a, b, c_, mx, my, tx, ty, T):
+    """Exact minimum of the conic quadratic q(d) = a·dx² + 2b·dx·dy + c·dy²
+    over a tile's pixel box [tx·T, tx·T+T−1]×[ty·T, ty·T+T−1], d measured
+    from the mean. Compositing evaluates alpha = opac·exp(−q/2), so
+    q_min > 2·ln(opac/α_min) ⟹ every pixel of the tile fails the alpha
+    gate — an EXACT per-pair cull that, unlike the isotropic r_cull circle,
+    also kills the bbox-corner tiles a rotated anisotropic ellipse never
+    touches. For a PD conic the min is 0 inside the box, else attained on
+    an edge where the free coordinate minimizes in closed form."""
+    x0 = tx * T - mx
+    x1 = tx * T + (T - 1.0) - mx
+    y0 = ty * T - my
+    y1 = ty * T + (T - 1.0) - my
+    inside = (x0 <= 0.0) & (0.0 <= x1) & (y0 <= 0.0) & (0.0 <= y1)
+    a_s = jnp.maximum(a, 1e-12)
+    c_s = jnp.maximum(c_, 1e-12)
+
+    def q_edge_x(xf):  # min over dy ∈ [y0, y1] at fixed dx = xf
+        dy = jnp.clip(-b * xf / c_s, y0, y1)
+        return a * xf * xf + 2.0 * b * xf * dy + c_ * dy * dy
+
+    def q_edge_y(yf):
+        dx = jnp.clip(-b * yf / a_s, x0, x1)
+        return a * dx * dx + 2.0 * b * dx * yf + c_ * yf * yf
+
+    qmin = jnp.minimum(
+        jnp.minimum(q_edge_x(x0), q_edge_x(x1)),
+        jnp.minimum(q_edge_y(y0), q_edge_y(y1)),
+    )
+    return jnp.where(inside, 0.0, qmin)
+
+
+def _cull_c2(opacities, cfg):
+    """Alpha-gate level in conic-q units: q > c² ⟺ alpha < α_min."""
+    return jax.lax.stop_gradient(jnp.maximum(
+        2.0 * jnp.log(jnp.maximum(opacities / cfg.alpha_min, 1e-12)), 0.0
+    ) * (1.0 + 1e-5) + 1e-6)  # FP slack: never cull a boundary pixel
+
+
 def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeConfig):
     """Depth-ordered per-tile work table via one fused int32 sort key.
 
@@ -315,20 +382,21 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeC
     base_key = dq  # low 16 bits, shared by all of a Gaussian's pairs
     gid_row = jnp.arange(P, dtype=jnp.int32)
     T = float(cfg.tile)
-    rcull2 = jax.lax.stop_gradient(pre.rcull2)
     mx = jax.lax.stop_gradient(pre.mx)
     my = jax.lax.stop_gradient(pre.my)
+    qa = jax.lax.stop_gradient(pre.ca)
+    qb = jax.lax.stop_gradient(pre.cb)
+    qc = jax.lax.stop_gradient(pre.cc)
+    c2 = _cull_c2(pre.opacity, cfg)
     keys = []
     for j in range(MT):
         dx_j, dy_j = j % R, j // R  # static offsets
         ok = pre.valid & (dx_j < rect_w) & (dy_j < rect_h)
         tx = pre.rmin_x + dx_j
         ty = pre.rmin_y + dy_j
-        # exact alpha cull: nearest tile pixel beyond r_cull ⇒ every pixel
-        # of this tile fails the alpha_min gate ⇒ the pair is exactly zero
-        ex_ = mx - jnp.clip(mx, tx * T, tx * T + (T - 1.0))
-        ey_ = my - jnp.clip(my, ty * T, ty * T + (T - 1.0))
-        ok = ok & (ex_ * ex_ + ey_ * ey_ <= rcull2)
+        # exact alpha cull: conic-q minimum over the tile beyond the gate
+        # level ⇒ every pixel of this tile fails alpha_min ⇒ exactly zero
+        ok = ok & (_tile_qmin(qa, qb, qc, mx, my, tx, ty, T) <= c2)
         tile_id = ty * tiles_x + tx
         keys.append(jnp.where(ok, (tile_id << 16) | base_key, NT << 16))
     key = jnp.stack(keys, axis=0)  # [MT, P] — P on the lane axis
@@ -618,14 +686,17 @@ def _prepare_windowed(
     tiles_y: int,
     cfg: RasterizeConfig,
 ):
-    """Anchor-sort packed rows, build the depth-ordered per-tile table in
-    window-local coordinates, and the per-tile span DMA bases.
+    """Anchor-sort packed rows (plus slice-store copies of big-rect
+    Gaussians), build the depth-ordered per-tile table in window-local
+    coordinates, and the per-tile span DMA bases.
 
-    Returns (G_s, table_rows, table_local_blocks, counts, bases, n_binned,
-    overflow_rect, overflow_tile, overflow_window).
+    Returns (G_s, table_rows, table_local_blocks, counts, bases, dests,
+    nblks, n_binned, overflow_rect, overflow_tile, overflow_window,
+    overflow_big).
     """
     from sags_tpu.ops.pallas_windowed import (
         COL_DQ, COL_RCULL2, COL_RECT_H, COL_RECT_W, COL_RMIN_X, COL_RMIN_Y,
+        COL_STORE,
     )
 
     P = pre.mx.shape[0]
@@ -639,18 +710,100 @@ def _prepare_windowed(
 
     rect_w_all = pre.rmax_x - pre.rmin_x
     rect_h_all = pre.rmax_y - pre.rmin_y
-
-    # --- anchor sort: rows grouped by rect-min tile, depth-ordered within ---
     dq = _depth_quant(pre)
-    anchor = jnp.where(pre.valid, pre.rmin_y * tiles_x + pre.rmin_x, NT)
-    iota = jnp.arange(P, dtype=jnp.int32)
-    akey = (anchor << 16) | dq
-    akey_s, perm = jax.lax.sort((akey, iota), num_keys=1)
     G = _pack_gaussians(
         pre, obj_features, extras=True,
         pack_obj_bf16=bool(getattr(cfg, "windowed_bf16", False)),
     )
-    G_s = G[perm]  # ONE P-row gather; everything downstream is contiguous
+
+    # --- slice store (exact coverage for rect ≤ windowed_store_max_rect):
+    # a Gaussian whose rect exceeds the R×R span window is REPLICATED as
+    # grid-of-slices copy rows anchored every R tiles, each copy's packed
+    # rect columns patched to its ≤R×R slice. Copies are ordinary rows of
+    # the anchor-sorted stream — the span DMAs find them like any other
+    # candidate, so compositing stays depth-exact with ZERO extra kernel
+    # machinery (this replaced a per-tile big-row table whose NT×K_BIG
+    # XLA row-gather cost ~15 ms at 720p; the reference needs none of
+    # this: dynamic `num_rendered`, `rasterizer_impl.cu:288-294`).
+    # Gradients fold back to parents through the copy gather's transpose.
+    K_BIG = int(getattr(cfg, "windowed_big_capacity", 0))
+    R_STORE = int(getattr(cfg, "windowed_store_max_rect", 16))
+    use_store = K_BIG > 0 and R_STORE > R
+    parent_excl = jnp.zeros((P,), bool)
+    cover_side = jnp.full((P,), R, jnp.int32)
+    copy_rows, copy_keys = [], []
+    overflow_big0 = jnp.int32(0)
+    if use_store:
+        maxside = jnp.maximum(rect_w_all, rect_h_all)
+        iota_u = jnp.arange(P, dtype=jnp.int32)
+        prev_cap = R
+        for cap_t, frac_t in cfg.windowed_store_fracs:
+            if cap_t <= R:
+                continue
+            cap_t = min(cap_t, R_STORE)
+            sel = pre.valid & (maxside > prev_cap) & (maxside <= cap_t)
+            prev_cap = cap_t
+            PBUF = min(max(int(P * frac_t) // 128 * 128, 128), P)
+            rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+            fits = sel & (rank < PBUF)
+            parent_excl = parent_excl | fits
+            cover_side = jnp.where(fits, cap_t, cover_side)
+            # buffer-saturated parents fall back to R×R coverage; the pairs
+            # the tier WOULD have covered count as big-tier overflow (the
+            # pipeline's cue to grow store fracs, not the R window)
+            overflow_big0 = overflow_big0 + jnp.sum(jnp.where(
+                sel & ~fits,
+                jnp.minimum(rect_w_all, cap_t) * jnp.minimum(rect_h_all, cap_t)
+                - jnp.minimum(rect_w_all, R) * jnp.minimum(rect_h_all, R),
+                0))
+            _, idx = jax.lax.sort(
+                (jnp.where(fits, 0, 1).astype(jnp.int32), iota_u), num_keys=1
+            )
+            idx = idx[:PBUF]
+            rows = G[idx]  # one SMALL row gather (≤ frac_t·P rows)
+            rows = rows.at[:, COL_STORE].set(1.0)
+            bvalid = jnp.arange(PBUF) < jnp.minimum(jnp.sum(fits), PBUF)
+            rx, ry = pre.rmin_x[idx], pre.rmin_y[idx]
+            rw, rh = rect_w_all[idx], rect_h_all[idx]
+            dqi = dq[idx]
+            sgf = lambda v: jax.lax.stop_gradient(v.astype(jnp.float32))
+            for gy in range(-(-cap_t // R)):
+                for gx in range(-(-cap_t // R)):
+                    vx, vy = gx * R, gy * R
+                    cval = bvalid & (vx < rw) & (vy < rh)
+                    crow = rows.at[:, COL_RMIN_X].set(sgf(rx + vx))
+                    crow = crow.at[:, COL_RMIN_Y].set(sgf(ry + vy))
+                    crow = crow.at[:, COL_RECT_W].set(
+                        sgf(jnp.clip(rw - vx, 0, R)))
+                    crow = crow.at[:, COL_RECT_H].set(
+                        sgf(jnp.clip(rh - vy, 0, R)))
+                    copy_rows.append(crow)
+                    anchor_c = jnp.where(
+                        cval, (ry + vy) * tiles_x + (rx + vx), NT)
+                    copy_keys.append((anchor_c << 16) | dqi)
+        G = jnp.concatenate([G] + copy_rows, axis=0)
+
+    # honest rect-coverage accounting (parents only; copies ARE the
+    # coverage): pairs beyond a parent's cover_side window stay counted
+    # (saturation-attributed pairs live in overflow_big0, not here)
+    covered = (jnp.minimum(rect_w_all, cover_side)
+               * jnp.minimum(rect_h_all, cover_side))
+    overflow_rect = jnp.sum(
+        jnp.where(pre.valid, rect_w_all * rect_h_all - covered, 0)
+    ) - overflow_big0
+
+    # --- anchor sort: rows grouped by rect-min tile, depth-ordered within.
+    # Excluded parents (fully replaced by their copies) sort past
+    # rowstart[NT] like invalid rows — never inside a span, never paired.
+    P_all = G.shape[0]
+    anchor = jnp.where(pre.valid & ~parent_excl,
+                       pre.rmin_y * tiles_x + pre.rmin_x, NT)
+    akey = (anchor << 16) | dq
+    if use_store:
+        akey = jnp.concatenate([akey] + copy_keys)
+    iota = jnp.arange(P_all, dtype=jnp.int32)
+    akey_s, perm = jax.lax.sort((akey, iota), num_keys=1)
+    G_s = G[perm]  # ONE row gather; everything downstream is contiguous
     rowstart = jnp.searchsorted(
         akey_s, jnp.arange(NT + 1, dtype=jnp.int32) << 16
     ).astype(jnp.int32)
@@ -671,79 +824,33 @@ def _prepare_windowed(
     valid_s = iota < rowstart[NT]
     TT = float(cfg.tile)
 
-    def tier_keys(offs, rx, ry, rw, rh, dq, vmask, mx, my, rc2):
+    def tier_keys(offs, exb, rx, ry, rw, rh, dq, vmask):
+        mx, my = exb[:, 0], exb[:, 1]
+        qa, qb, qc = exb[:, 2], exb[:, 3], exb[:, 4]
+        c2 = _cull_c2(exb[:, 5], cfg)
         ks = []
         for dx_j, dy_j in offs:
             ok = vmask & (dx_j < rw) & (dy_j < rh)
             tx = rx + dx_j
             ty = ry + dy_j
-            # exact alpha cull (see bin_gaussians): pairs wholly beyond
-            # r_cull fail the alpha_min gate at every pixel
-            ex_ = mx - jnp.clip(mx, tx * TT, tx * TT + (TT - 1.0))
-            ey_ = my - jnp.clip(my, ty * TT, ty * TT + (TT - 1.0))
-            ok = ok & (ex_ * ex_ + ey_ * ey_ <= rc2)
+            # exact alpha cull (see bin_gaussians): tiles whose conic-q
+            # minimum exceeds the gate level composite exactly zero
+            ok = ok & (_tile_qmin(qa, qb, qc, mx, my, tx, ty, TT) <= c2)
             tile_id = ty * tiles_x + tx
             ks.append(jnp.where(ok, (tile_id << 16) | dq, NT << 16))
         return ks
 
-    # --- store tier (full coverage for big rects, cfg.windowed_big_capacity):
-    # rect > R Gaussians expand through wide static offset sub-tiers with
-    # payload P+row (so table lanes are distinguishable); a separate
-    # key/payload stream feeds the per-tile big-table sort below. Stored
-    # Gaussians are EXCLUDED from the span tiers (no double compositing);
-    # buffer-saturated ones fall back to the classic R×R-capped tiers.
-    K_BIG = int(getattr(cfg, "windowed_big_capacity", 0))
-    R_STORE = int(getattr(cfg, "windowed_store_max_rect", 16))
-    use_store = K_BIG > 0 and R_STORE > R
-    stored_mask = jnp.zeros((P,), bool)
-    cover_side = jnp.full((P,), R, jnp.int32)
+    # Slice-store copy rows carry COL_STORE=1 and a patched ≤R×R rect; they
+    # expand through their own compacted tier below (the mid/big buffers
+    # stay sized for ordinary rows).
+    is_copy = (ex[:, COL_STORE] > 0.0) if use_store else jnp.zeros(
+        (P_all,), bool)
     keys, gids = [], []
-    big_keys, big_gids = [], []
-    maxside = jnp.maximum(rectw, recth)
-    if use_store:
-        assert K_BIG % 128 == 0
-        prev_cap = R
-        for cap_t, frac_t in cfg.windowed_store_fracs:
-            if cap_t <= R:
-                continue
-            cap_t = min(cap_t, R_STORE)
-            sel = valid_s & (maxside > prev_cap) & (maxside <= cap_t)
-            prev_cap = cap_t
-            PBUF = min(max(int(P * frac_t) // 128 * 128, 128), P)
-            rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
-            fits = sel & (rank < PBUF)
-            stored_mask = stored_mask | fits
-            cover_side = jnp.where(fits, cap_t, cover_side)
-            _, idx = jax.lax.sort(
-                (jnp.where(sel, 0, 1).astype(jnp.int32), iota), num_keys=1
-            )
-            idx = idx[:PBUF]
-            exb = ex[idx]
-            bvalid = (jnp.arange(PBUF) < jnp.minimum(jnp.sum(sel), PBUF))
-            offs_t = [(x, y) for y in range(cap_t) for x in range(cap_t)]
-            ks = tier_keys(
-                offs_t, exb[:, COL_RMIN_X].astype(jnp.int32),
-                exb[:, COL_RMIN_Y].astype(jnp.int32),
-                exb[:, COL_RECT_W].astype(jnp.int32),
-                exb[:, COL_RECT_H].astype(jnp.int32),
-                exb[:, COL_DQ].astype(jnp.int32), bvalid,
-                exb[:, 0], exb[:, 1], exb[:, COL_RCULL2],
-            )
-            keys.extend(ks)
-            gids.extend([idx + P] * len(offs_t))  # payload P+row tags store lanes
-            big_keys.extend(ks)
-            big_gids.extend([idx] * len(offs_t))
-
-    # rect-coverage accounting in SORTED-row space (cover_side is per sorted
-    # row): stored rows are covered to their sub-tier cap, the rest to R.
-    covered = jnp.minimum(rectw, cover_side) * jnp.minimum(recth, cover_side)
-    overflow_rect = jnp.sum(jnp.where(valid_s, rectw * recth - covered, 0))
 
     RA = min(R, 2)
     offs_a = [(x, y) for y in range(RA) for x in range(RA)]
-    keys.extend(tier_keys(offs_a, rminx, rminy, rectw, recth, dq_s,
-                          valid_s & ~stored_mask,
-                          ex[:, 0], ex[:, 1], ex[:, COL_RCULL2]))
+    keys.extend(tier_keys(offs_a, ex, rminx, rminy, rectw, recth, dq_s,
+                          valid_s))
     gids.extend([iota] * len(offs_a))
 
     # Larger tiers: a MID tier (rect ≤ 3, the 5 extra offsets of the 3×3
@@ -751,11 +858,11 @@ def _prepare_windowed(
     # compacted into its own buffer — sizing the 12-offset expansion by the
     # (few) genuinely large Gaussians instead of everything beyond 2×2
     # shrinks the pair sort ~30% on SLAM scenes.
-    overflow_big = jnp.int32(0)
+    overflow_big = overflow_big0
 
     def _tier(sel_mask, offs, PBUF, cover_cap):
         nonlocal overflow_big, keys, gids
-        PBUF = min(PBUF, P)  # a tiny scene must not out-size its buffer
+        PBUF = min(PBUF, P_all)  # a tiny scene must not out-size its buffer
         rank = jnp.cumsum(sel_mask.astype(jnp.int32)) - 1
         n_sel = jnp.sum(sel_mask)
         covered = (jnp.minimum(rectw, cover_cap)
@@ -774,35 +881,46 @@ def _prepare_windowed(
         exb = ex[idx]  # one small row gather
         bvalid = jnp.arange(PBUF) < jnp.minimum(n_sel, PBUF)
         keys.extend(tier_keys(
-            offs, exb[:, COL_RMIN_X].astype(jnp.int32),
+            offs, exb, exb[:, COL_RMIN_X].astype(jnp.int32),
             exb[:, COL_RMIN_Y].astype(jnp.int32),
             exb[:, COL_RECT_W].astype(jnp.int32),
             exb[:, COL_RECT_H].astype(jnp.int32),
             exb[:, COL_DQ].astype(jnp.int32), bvalid,
-            exb[:, 0], exb[:, 1], exb[:, COL_RCULL2],
         ))
         gids.extend([idx] * len(offs))
 
+    n_copies = P_all - P
     if R > 2:
-        beyond2 = valid_s & ((rectw > 2) | (recth > 2)) & ~stored_mask
+        beyond2 = valid_s & ((rectw > 2) | (recth > 2)) & ~is_copy
         offs_m = [
             (x, y) for y in range(min(R, 3)) for x in range(min(R, 3))
+            if not (x < 2 and y < 2)
+        ]
+        offs_b = [
+            (x, y) for y in range(R) for x in range(R)
             if not (x < 2 and y < 2)
         ]
         if R > 3:
             is_mid = beyond2 & (rectw <= 3) & (recth <= 3)
             PM = max(int(P * cfg.windowed_mid_frac) // 128 * 128, 128)
             _tier(is_mid, offs_m, PM, 3)
-            is_big = valid_s & ((rectw > 3) | (recth > 3)) & ~stored_mask
+            is_big = valid_s & ((rectw > 3) | (recth > 3)) & ~is_copy
             PB = max(int(P * cfg.windowed_big_frac) // 128 * 128, 128)
-            offs_b = [
-                (x, y) for y in range(R) for x in range(R)
-                if not (x < 2 and y < 2)
-            ]
             _tier(is_big, offs_b, PB, R)
         else:  # R == 3: the mid ring IS full coverage
             PM = max(int(P * cfg.windowed_mid_frac) // 128 * 128, 128)
             _tier(beyond2, offs_m, PM, 3)
+        if n_copies:
+            # slice-store copies with a >2-wide slice take the same R×R-ring
+            # offsets from a buffer sized to the STATIC copy total — copies
+            # are already tier-compacted, so this tier can never saturate
+            NC_BUF = -(-n_copies // 128) * 128
+            _tier(valid_s & is_copy & ((rectw > 2) | (recth > 2)),
+                  offs_b if R > 3 else offs_m, NC_BUF, R)
+    elif n_copies:
+        # R == 2: the 2×2 base IS the full span window; slices are ≤ 2×2
+        # and the base tier already covers them
+        pass
 
     key = jnp.concatenate([k.reshape(-1) for k in keys])
     gid = jnp.concatenate([g.reshape(-1) for g in gids])
@@ -832,26 +950,7 @@ def _prepare_windowed(
         return t[:NT]
 
     table = _fill(idx_s, key_s, starts, K)
-
-    # --- per-tile big table (store tier): the big-only key stream sorts to
-    # the same per-tile depth order as the big-lane subsequence of the main
-    # table (identical keys, identical emission order, stable sorts), so the
-    # main table's big lanes at rank r select exactly big_table[:, r]. ---
-    big_table = None
-    if use_store:
-        bkey = jnp.concatenate([k.reshape(-1) for k in big_keys])
-        bgid = jnp.concatenate([g.reshape(-1) for g in big_gids])
-        bkey_s, bgid_s = jax.lax.sort((bkey, bgid), num_keys=1)
-        starts_b = jnp.searchsorted(
-            bkey_s, jnp.arange(NT + 1, dtype=jnp.int32) << 16
-        ).astype(jnp.int32)
-        big_table = _fill(bgid_s, bkey_s, starts_b, K_BIG)
-        is_big_lane = table >= P
-        bigrank = jnp.cumsum(is_big_lane.astype(jnp.int32), axis=1) - 1
-        fits_big = is_big_lane & (bigrank < K_BIG)
-        table_global = jnp.where(is_big_lane, table - P, table)
-    else:
-        table_global = table
+    table_global = table  # copies are ordinary rows: ids index G_s directly
 
     # --- window-local translation + packed span DMA plan ---
     # Spans share one per-tile block budget (cfg.window_blocks total blocks),
@@ -884,13 +983,6 @@ def _prepare_windowed(
         local = jnp.where(m, dest[:, None] * 128 + offs, local)
         matched = matched | m
         dest = dest + nblk
-    if use_store:
-        from sags_tpu.ops.pallas_windowed import BIG_BASE
-
-        local = jnp.where(fits_big, BIG_BASE + bigrank, local)
-        # per-tile big capacity overflow → overflow_big (not _window)
-        matched = matched | is_big_lane
-        overflow_big = overflow_big + jnp.sum(is_big_lane & ~fits_big)
     overflow_window = jnp.sum((table >= 0) & ~matched)
     bases = jnp.stack(bases, axis=1).reshape(-1)  # [NT*R]
     dests = jnp.stack(dests, axis=1).reshape(-1)
@@ -898,13 +990,13 @@ def _prepare_windowed(
     table_local = local.reshape(NT, K // 128, 128)
 
     return (G_s, table_global, table_local, counts, bases, dests, nblks,
-            big_table, n_binned, overflow_rect, overflow_tile,
+            n_binned, overflow_rect, overflow_tile,
             overflow_window, overflow_big)
 
 
 def _composite_windowed_with_xla_vjp(
     G_s, table_rows, table_local, counts, bases, dests, nblks,
-    n_feat, tiles_x, tiles_y, cfg, tile_offset=None, big_table=None
+    n_feat, tiles_x, tiles_y, cfg, tile_offset=None
 ):
     """Fused windowed forward. Backward: the windowed fused Pallas kernel
     (per-pair gradients from the same span DMAs + in-VMEM select, then one
@@ -952,18 +1044,8 @@ def _composite_windowed_with_xla_vjp(
         )
         return G_pad.T.reshape(CH_K, P_pad // 128, 128).transpose(1, 0, 2)
 
-    use_store = big_table is not None
-
     def primal(G_s, table_rows, table_local, counts, bases, dests, nblks,
-               toff, big_table):
-        big = None
-        if use_store:
-            # pre-gather the per-tile depth-ordered big rows once (the store
-            # tier's one row gather; empty slots clamp to row 0 — no table
-            # lane addresses them)
-            NTl, KB = big_table.shape
-            rows = _rows(G_s)[jnp.maximum(big_table.reshape(-1), 0)]
-            big = rows.reshape(NTl, KB // 128, 128, CH_K).transpose(0, 1, 3, 2)
+               toff):
         acc, T = composite_windowed(
             _blocked(G_s), table_local, counts, bases, dests, nblks, CF_in,
             cfg.tile, tiles_x, alpha_min=cfg.alpha_min,
@@ -972,7 +1054,8 @@ def _composite_windowed_with_xla_vjp(
             scan_impl=getattr(cfg, "scan_impl", "roll"),
             prefetch=bool(getattr(cfg, "window_prefetch", False)),
             ablate=str(getattr(cfg, "window_ablate", "")),
-            tile_offset=toff, big=big,
+            ewa_impl=str(getattr(cfg, "ewa_impl", "vpu")),
+            tile_offset=toff,
         )
         if bf16_obj:
             # kernel acc columns: rgb(0:3) dz0,A,B,1(3:7) pad(7) obj(8:24)
@@ -984,24 +1067,21 @@ def _composite_windowed_with_xla_vjp(
 
     f = jax.custom_vjp(primal)
 
-    def fwd(G_s, table_rows, table_local, counts, bases, dests, nblks, toff,
-            big_table):
+    def fwd(G_s, table_rows, table_local, counts, bases, dests, nblks, toff):
         out = primal(G_s, table_rows, table_local, counts, bases, dests,
-                     nblks, toff, big_table)
+                     nblks, toff)
         return out, (G_s, table_rows, table_local, counts, bases, dests,
-                     nblks, toff, big_table, out[1])
+                     nblks, toff, out[1])
 
     def bwd(res, cots):
         (G_s, table_rows, table_local, counts, bases, dests, nblks, toff,
-         big_table, T_final) = res
+         T_final) = res
         d_acc, d_T = cots
-        ints = (table_rows, table_local, counts, bases, dests, nblks, toff,
-                big_table)
+        ints = (table_rows, table_local, counts, bases, dests, nblks, toff)
         zeros_int = tuple(
-            None if x is None else _np.zeros(x.shape, jax.dtypes.float0)
-            for x in ints
+            _np.zeros(x.shape, jax.dtypes.float0) for x in ints
         )
-        if bf16_obj or not cfg.pallas_backward or use_store:
+        if bf16_obj or not cfg.pallas_backward:
             # Recompute ONLY over pairs the windowed forward actually
             # composited: entries the span window dropped (table_local == -1)
             # must not contribute gradient, or d(loss) is pulled back through
@@ -1047,12 +1127,12 @@ def _composite_windowed_with_xla_vjp(
 
     f.defvjp(fwd, bwd)
     return f(G_s, table_rows, table_local, counts, bases, dests, nblks,
-             tile_offset, big_table)
+             tile_offset)
 
 
 def _composite_windowed_sharded(
     G_s, table_rows, table_local, counts, bases, dests, nblks,
-    n_feat, tiles_x, tiles_y, cfg, mesh, big_table=None
+    n_feat, tiles_x, tiles_y, cfg, mesh
 ):
     """Multi-chip windowed compositing: shard_map over the tiles axis.
 
@@ -1087,32 +1167,24 @@ def _composite_windowed_sharded(
             jnp.concatenate([x, jnp.zeros((pad, R), x.dtype)])
             for x in (b2, d2, n2)
         )
-        if big_table is not None:
-            big_table = jnp.concatenate(
-                [big_table, jnp.full((pad, big_table.shape[1]), -1,
-                                     big_table.dtype)]
-            )
 
-    def local(G_s, table_rows, table_local, counts, b2, d2, n2, *bt):
+    def local(G_s, table_rows, table_local, counts, b2, d2, n2):
         toff = jax.lax.axis_index(TILE_AXIS) * (NT_pad // ndev)
         return _composite_windowed_with_xla_vjp(
             G_s, table_rows, table_local, counts,
             b2.reshape(-1), d2.reshape(-1), n2.reshape(-1),
             n_feat, tiles_x, tiles_y, cfg, tile_offset=toff[None],
-            big_table=bt[0] if bt else None,
         )
 
-    extra_in = (P(TILE_AXIS, None),) if big_table is not None else ()
-    extra_arg = (big_table,) if big_table is not None else ()
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(TILE_AXIS, None), P(TILE_AXIS, None, None),
                   P(TILE_AXIS), P(TILE_AXIS, None), P(TILE_AXIS, None),
-                  P(TILE_AXIS, None)) + extra_in,
+                  P(TILE_AXIS, None)),
         out_specs=(P(TILE_AXIS, None, None), P(TILE_AXIS, None)),
         check_vma=False,
     )
-    acc, T = fn(G_s, table_rows, table_local, counts, b2, d2, n2, *extra_arg)
+    acc, T = fn(G_s, table_rows, table_local, counts, b2, d2, n2)
     return acc[:NT], T[:NT]
 
 
@@ -1288,19 +1360,19 @@ def rasterize(
     ov_win = jnp.int32(0)
     ov_big = jnp.int32(0)
     if use_windowed:
-        (G_s, table, table_local, counts, bases, dests, nblks, big_table,
+        (G_s, table, table_local, counts, bases, dests, nblks,
          n_binned, ov_rect, ov_tile, ov_win, ov_big) = _prepare_windowed(
             pre, obj_features, tiles_x, tiles_y, cfg
         )
         if mesh is not None:
             accum, T_final = _composite_windowed_sharded(
                 G_s, table, table_local, counts, bases, dests, nblks,
-                n_feat, tiles_x, tiles_y, cfg, mesh, big_table=big_table
+                n_feat, tiles_x, tiles_y, cfg, mesh
             )
         else:
             accum, T_final = _composite_windowed_with_xla_vjp(
                 G_s, table, table_local, counts, bases, dests, nblks,
-                n_feat, tiles_x, tiles_y, cfg, big_table=big_table
+                n_feat, tiles_x, tiles_y, cfg
             )
         px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
     else:

@@ -256,7 +256,7 @@ class SLAMPipeline:
                     r.windowed_big_capacity * 2 if r.windowed_big_capacity
                     else 128
                 )
-        if over["window"] and r.window_blocks < 40:  # BIG_BASE bounds w_blocks < 64
+        if over["window"] and r.window_blocks < 40:  # VMEM bounds the window
             kw["window_blocks"] = r.window_blocks + 2
         if over["big"]:
             if r.windowed_mid_frac < 1.0:

@@ -202,6 +202,31 @@ def test_windowed_bf16_obj_matches_full_precision():
     assert 0.0 < o_rel < 2e-2, o_rel
 
 
+def test_windowed_quad_ewa_matches_longhand():
+    """cfg.ewa_impl='quad' evaluates the EWA quadratic as one [PIX,6]@[6,K]
+    monomial-basis matmul on tile-LOCAL coordinates instead of ~9 [PIX,K]
+    VPU maps. Forward-only perf mode: must match the longhand path within
+    the documented ~1e-3 absolute expansion tolerance (measured 1.3e-5 on
+    chip at the bench point; tile-local coords keep the cancellation sane)."""
+    A, cam, _ = _windowed_scene()
+    cfg = dataclasses.replace(CFG, window_blocks=24, windowed_mid_frac=1.0,
+                              windowed_big_frac=1.0)
+    cfgq = dataclasses.replace(cfg, ewa_impl="quad")
+    ov = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    oq = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfgq, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    assert int(ov.overflow_window) == 0
+    np.testing.assert_allclose(np.asarray(oq.color), np.asarray(ov.color),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(oq.final_T), np.asarray(ov.final_T),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(oq.depth), np.asarray(ov.depth),
+                               atol=2e-2)
+
+
 def test_store_tier_on_chip_matches_wide_xla():
     """Compiled (non-interpret) store-tier kernel path: forward must match
     the classic XLA path run with a window wide enough for every rect."""

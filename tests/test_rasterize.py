@@ -172,7 +172,12 @@ def ref_render(means, scales, quats, opac, colors, objs, cam, bg=None, bg_depth=
     return color, depth_img, obj_img, T_img, pre
 
 
-CFG = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=128, chunk=32)
+# The golden oracle transliterates the reference's CIRCLE rect + truncated
+# tile bound (`auxiliary.h:51-61`), so the oracle-parity tests pin
+# tight_rect=False (the reference-faithful mode). tight_rect=True renders a
+# gate-exact SUPERSET — covered by test_tight_rect_covers_every_live_pixel.
+CFG = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=128, chunk=32,
+                      tight_rect=False)
 
 
 @pytest.fixture(scope="module")
@@ -317,6 +322,52 @@ def test_pipeline_overflow_adaptation_grows_knobs():
     assert pipe.cfg.raster is capped and pipe.step_fn is fn_before
 
 
+def test_tight_rect_covers_every_live_pixel():
+    """cfg.tight_rect bins each Gaussian into the axis bbox of the exact
+    alpha-cull level set (w = c·√Σ_axis, c² = 2·ln(opac/α_min)) with exact
+    fractional pixel→tile bounds. Property under test: NO pixel that passes
+    the compositing gate (alpha ≥ α_min ∧ power ≤ 0) lies outside the rect —
+    i.e. the tight rect is image-exact, unlike the reference's 3σ circle +
+    `(x+r+t−1)/t` truncation (`auxiliary.h:51-61`), which drops live edge
+    pixels (measured alpha up to 0.09 one column past the truncated bound)."""
+    rng = np.random.default_rng(3)
+    n, W, H = 512, 96, 64
+    z = rng.uniform(2.0, 10.0, (n, 1))
+    xy = rng.uniform(-0.5, 0.5, (n, 2)) * z
+    means = np.concatenate([xy, z], 1).astype(np.float32)
+    scales = np.exp(rng.normal(np.log(0.03), 0.7, (n, 3))).clip(0.004, 0.3)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, -1, keepdims=True)
+    opac = rng.uniform(0.05, 0.95, (n,)).astype(np.float32)
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                      W, H, 1.2, 0.9)
+    cfg = RasterizeConfig(max_tiles_per_gaussian=64, tile_capacity=2048,
+                          chunk=64)
+    pre = rz.preprocess(jnp.asarray(means), jnp.asarray(opac),
+                        jnp.asarray(scales.astype(np.float32)),
+                        jnp.asarray(quats), cam, cfg)
+    mx, my = np.asarray(pre.mx), np.asarray(pre.my)
+    ca, cb, cc = np.asarray(pre.ca), np.asarray(pre.cb), np.asarray(pre.cc)
+    op, val = np.asarray(pre.opacity), np.asarray(pre.valid)
+    r0x, r1x = np.asarray(pre.rmin_x), np.asarray(pre.rmax_x)
+    r0y, r1y = np.asarray(pre.rmin_y), np.asarray(pre.rmax_y)
+    px = np.arange(W)[None, :]
+    py = np.arange(H)[:, None]
+    t = cfg.tile
+    for i in range(n):
+        if not val[i]:
+            continue
+        dx, dy = mx[i] - px, my[i] - py
+        power = -0.5 * (ca[i]*dx*dx + cc[i]*dy*dy) - cb[i]*dx*dy
+        alpha = np.minimum(0.99, op[i] * np.exp(power))
+        live = (alpha >= cfg.alpha_min) & (power <= 0)
+        if not live.any():
+            continue
+        ys, xs = np.where(live)
+        assert xs.min() // t >= r0x[i] and xs.max() // t < r1x[i], i
+        assert ys.min() // t >= r0y[i] and ys.max() // t < r1y[i], i
+
+
 def test_windowed_interpret_matches_xla_cpu():
     """The windowed fused fwd+bwd kernels run under Pallas interpret mode on
     CPU (`pallas_interpret`), giving the windowed path CPU-CI coverage (the
@@ -357,6 +408,17 @@ def test_windowed_interpret_matches_xla_cpu():
         windowed=True))(*A)
     np.testing.assert_array_equal(np.asarray(op.color), np.asarray(ow.color))
     np.testing.assert_array_equal(np.asarray(op.final_T), np.asarray(ow.final_T))
+
+    # ewa_impl="quad" ([PIX,6]@[6,K] monomial-basis EWA) matches the longhand
+    # VPU form within the documented ~1e-3 expansion tolerance
+    cfg_q = dataclasses.replace(cfg, ewa_impl="quad")
+    oq = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg_q, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    np.testing.assert_allclose(np.asarray(oq.color), np.asarray(ow.color),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(oq.final_T), np.asarray(ow.final_T),
+                               atol=2e-3)
 
     # window_prefetch (double-buffered span DMA) is bit-exact vs the
     # single-buffered window

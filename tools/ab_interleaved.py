@@ -118,6 +118,16 @@ def main():
         ts = np.array(per_arm[ai]) * 1000
         print(f"{spec:40s} median {np.median(ts):6.2f} ms  "
               f"min {ts.min():6.2f} ms  (n={len(ts)})")
+    # Paired per-round deltas vs arm 0: the chip has multi-minute speed
+    # phases, so the paired difference (both arms measured seconds apart
+    # inside one round) is far lower-variance than cross-round medians.
+    base = np.array(per_arm[0]) * 1000
+    for ai, spec in enumerate(args.arms[1:], start=1):
+        d = np.array(per_arm[ai]) * 1000 - base
+        wins = int((d < 0).sum())
+        print(f"delta[{spec} - {args.arms[0]}]: "
+              f"median {np.median(d):+6.2f} ms  mean {d.mean():+6.2f} ms  "
+              f"faster in {wins}/{len(d)} rounds")
 
 
 if __name__ == "__main__":
