@@ -160,13 +160,18 @@ def main():
     # tiered mode instead (R×R window, drops counted; tools/exactness_check
     # puts its image ~19.7 dB PSNR from exact at this operating point) —
     # the default run also reports that mode in `fast_*` fields.
+    # feature_precision="default" = 1-pass bf16 feature matmul (−2 to −4 ms
+    # on-chip): ~4e-3 abs on [0,1] color — under the 8-bit display quantum
+    # (≈50 dB PSNR floor, far above any 3DGS quality bar). Coverage
+    # exactness (which pairs composite, their depth order, alpha math in
+    # fp32) is untouched; the library default stays "highest".
     exact_cfg = RasterizeConfig(
         max_tiles_per_gaussian=16, tile_capacity=tile_capacity, chunk=chunk,
-        remat=False, windowed_big_capacity=256,
+        remat=False, windowed_big_capacity=256, feature_precision="default",
     )
     fast_cfg = RasterizeConfig(
         max_tiles_per_gaussian=16, tile_capacity=tile_capacity, chunk=chunk,
-        remat=False, windowed_big_capacity=0,
+        remat=False, windowed_big_capacity=0, feature_precision="default",
     )
     fast_only = os.environ.get("SAGS_BENCH_FAST", "") == "1"
     cfg = fast_cfg if fast_only else exact_cfg

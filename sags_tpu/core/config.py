@@ -123,6 +123,24 @@ class RasterizeConfig:
     # ceil(side/R)² copy rows; buffer saturation falls back to the classic
     # (windowed, R×R-capped) tiers and is counted in overflow_big.
     windowed_store_fracs: tuple = ((8, 0.08), (16, 0.004))
+    # MXU precision of the windowed forward's feature matmul (w @ feats):
+    # "highest" = 6-pass fp32 (bit-matches the XLA reference path),
+    # "high" = manual bf16x2 split, 3 one-pass dots (~1e-6 rel; Mosaic has
+    # no native Precision.HIGH),
+    # "default" = 1-pass bf16 (~4e-3 abs — under the 8-bit display quantum;
+    # the per-pixel alpha/transmittance math stays full fp32 either way).
+    # Forward-only: gradients always recompute at fp32-HIGHEST.
+    feature_precision: str = "highest"
+    # Where the windowed path's per-tile depth ordering happens:
+    # "host" = global pair sort + table build in the XLA program (default;
+    # differentiable via the windowed/XLA backwards),
+    # "kernel" = the Pallas kernel builds + bitonic-sorts its own candidate
+    # keys from the DMA'd window rows (ops/pallas_sort.py) — kills the
+    # ~3.3M-lane host pair sort and the table entirely (~8 ms at the 720p
+    # bench point) and needs NO mid/big tier buffers (validity is the exact
+    # alpha-gate test). Render-only: NOT differentiable; requires
+    # window_blocks ≤ 16 and tile_capacity ≤ 2048.
+    windowed_sort: str = "host"
 
 
 @dataclass(frozen=True)

@@ -18,11 +18,17 @@ TPU-style:
      random gather. Spans share one per-tile block budget
      (`cfg.window_blocks` total), allocated host-side by actual span
      length, so dense regions don't force a uniform worst-case window.
-  3. The per-tile depth-ordered work list (from the same single-key sort
-     as the classic path) is translated host-side into *window-local*
+  3. The per-tile depth-ordered work list is translated into *window-local*
      indices; the kernel materializes depth order with Mosaic's native
      within-128-lane dynamic gather (`take_along_axis` on the lane axis),
-     one [CH,128] gather per (output block × candidate block).
+     one [CH,128] gather per (output block × candidate block). Two sources
+     for that list: the host pair sort + table (`_kernel`, differentiable
+     via `composite_windowed_bwd`), or — render fast path — the kernel
+     itself (`_kernel_sorted`): per-row validity (rect ∧ exact conic-q
+     alpha cull) and `(depth_quant << 11) | window_idx` keys are computed
+     from the DMA'd rows and bitonic-sorted in VMEM (`ops/pallas_sort`),
+     deleting the ~3.3M-lane host pair sort, the tier buffers and the
+     table build from the program.
   4. Compositing proceeds exactly as `pallas_composite._kernel`
      (linear-space Hillis-Steele exclusive product, chunk skip by counts,
      chunk skip on full saturation).
@@ -45,7 +51,8 @@ HDR = 8  # header rows (geometry); feature rows start here
 
 # Packed-row extra columns appended by the windowed path (rows 32..39 of the
 # 40-wide layout; rows 0..31 are identical to `rasterize._pack_gaussians`).
-# The kernel never sees them — only host-side pair expansion reads them.
+# Host-side pair expansion reads them; so does `_kernel_sorted` (the
+# in-kernel-sort mode DMAs the full 40-row layout to build its own keys).
 COL_RMIN_X = 32
 COL_RMIN_Y = 33
 COL_RECT_W = 34
@@ -56,10 +63,42 @@ COL_STORE = 38  # 1.0 marks a slice-store copy row (rasterize._prepare_windowed)
 WIDE_CH = 40
 
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _feat_dot(w, feats, feat_prec):
+    """[PIX,K] @ [CF,K]^T feature accumulation at a configurable MXU cost.
+
+    "highest" = fp32 6-pass; "default" = bf16 1-pass (~4e-3 abs on [0,1]
+    channels — under the 8-bit display quantum). "high" is emulated as a
+    bf16x2 split (w_hi+w_lo) × (f_hi+f_lo) with the lo·lo term dropped —
+    3 one-pass dots ≈ lax.Precision.HIGH (~1e-6 rel), which Mosaic does
+    not accept natively on TPU."""
+    dims = (((1,), (1,)), ((), ()))
+    if feat_prec == "high":
+        wh = w.astype(jnp.bfloat16)
+        wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        fh = feats.astype(jnp.bfloat16)
+        fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(wh, fh, dims,
+                                  preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(wh, fl, dims,
+                                   preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(wl, fh, dims,
+                                   preferred_element_type=jnp.float32)
+        return acc
+    return jax.lax.dot_general(w, feats, dims,
+                               preferred_element_type=jnp.float32,
+                               precision=_PRECISIONS[feat_prec])
+
+
 def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
             gb_ref, *rest, tile, tiles_x, alpha_min, t_min, chunk, n_span,
             w_blocks, bf16_obj=False, scan_impl="roll",
-            prefetch=False, ablate="", ewa_impl="vpu"):
+            prefetch=False, ablate="", ewa_impl="vpu", feat_prec="highest"):
     acc_out, t_out, cand, gsel, acc_s, t_s, sems = rest
     t = pl.program_id(0)
     tg = t + toff_ref[0]  # GLOBAL tile id (pixel coords) — under shard_map
@@ -118,6 +157,32 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
     # per-pixel early exit `forward.cu:372-389` at chunk granularity)
     @pl.when((c * K < counts_ref[t]) & (jnp.max(t_s[...]) >= t_min))
     def _():
+        idx_of = lambda kb: table_ref[0, c * (K // 128) + kb]
+        cand_at = lambda b: cand[b] if not prefetch else cand[t % 2, b]
+        _select_and_composite(
+            idx_of, cand_at, gsel, acc_s, t_s, tg, K=K, CH=CH, tile=tile,
+            tiles_x=tiles_x, alpha_min=alpha_min, t_min=t_min,
+            w_blocks=w_blocks, bf16_obj=bf16_obj, scan_impl=scan_impl,
+            ablate=ablate, ewa_impl=ewa_impl, feat_prec=feat_prec,
+        )
+
+    @pl.when(c == NC - 1)
+    def _():
+        acc_out[0] = acc_s[...]
+        t_out[0] = t_s[...][:, 0:1]
+
+
+def _select_and_composite(idx_of, cand_at, gsel, acc_s, t_s, tg, *, K, CH,
+                          tile, tiles_x, alpha_min, t_min, w_blocks,
+                          bf16_obj, scan_impl, ablate, ewa_impl, feat_prec):
+    """One compositing chunk: depth-order select from the candidate window
+    (`idx_of(kb)` → [128] window-local ids, −1 = empty) followed by the EWA
+    alpha math, the exclusive-product scan and the feature matmul. Shared by
+    the host-table kernel (`_kernel`) and the in-kernel-sort variant
+    (`_kernel_sorted`)."""
+    PIX = tile * tile
+    CF = acc_s.shape[1]
+    if True:  # (indent kept from the pre-refactor _kernel body)
         # ---- select: depth-ordered rows from the packed candidate window.
         # Indices never point past the allocated blocks (host guarantees
         # local < used*128), so unconditionally scanning all w_blocks is
@@ -127,7 +192,7 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
         # control flow around [CH,128] vector work costs more than the
         # skipped gathers would save)
         for kb in range(K // 128):
-            idxb = table_ref[0, c * (K // 128) + kb]  # [128] window-local ids
+            idxb = idx_of(kb)  # [128] window-local ids
             hi = idxb // 128
             lo = jnp.where(idxb >= 0, idxb % 128, 0)
             idxmod = jnp.broadcast_to(lo[None, :], (CH, 128))
@@ -137,8 +202,7 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
             sel = jnp.zeros((CH, 128), jnp.float32)
             # ablate="nosel": one gather instead of w_blocks (timing only)
             for b in range(1 if ablate == "nosel" else w_blocks):
-                src = cand[b] if not prefetch else cand[t % 2, b]
-                g_b = jnp.take_along_axis(src, idxmod, axis=1)
+                g_b = jnp.take_along_axis(cand_at(b), idxmod, axis=1)
                 sel = jnp.where((hi == b)[None, :], g_b, sel)
             gsel[:, pl.ds(kb * 128, 128)] = sel
 
@@ -244,11 +308,7 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
             # (Mosaic's dynamic_gather rejects bf16 with i32 indices) and
             # bitcast back here. Acc columns: [f32feat 0..7 | obj 8..23].
             obj = pltpu.bitcast(g[16:24, :], jnp.bfloat16)  # [16, K]
-            acc_f = jax.lax.dot_general(
-                w, g[8:16, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            acc_f = _feat_dot(w, g[8:16, :], feat_prec)
             acc_o = jax.lax.dot_general(
                 w.astype(jnp.bfloat16), obj, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -258,21 +318,12 @@ def _kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref, table_ref,
             # the [PIX,CF] slice-add still consumes w so the rest survives DCE
             acc_s[...] += w[:, :CF]
         else:
-            acc_s[...] += jax.lax.dot_general(
-                w, g[HDR:HDR + CF, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            acc_s[...] += _feat_dot(w, g[HDR:HDR + CF, :], feat_prec)
         # T *= Π_m om without reduce_prod (unsupported): m is monotone within
         # a chunk, so the post-chunk T is the smallest m-true T_exc·om.
         t_s[...] = jnp.min(
             jnp.where(m, T_exc * om, t_s[...]), axis=1, keepdims=True
         )
-
-    @pl.when(c == NC - 1)
-    def _():
-        acc_out[0] = acc_s[...]
-        t_out[0] = t_s[...][:, 0:1]
 
 
 def _bwd_kernel(counts_ref, bases_ref, dests_ref, nblks_ref, toff_ref,
@@ -511,7 +562,8 @@ def composite_windowed_bwd(
     jax.jit,
     static_argnames=("n_feat", "tile", "tiles_x", "alpha_min", "t_min",
                      "chunk", "n_span", "w_blocks", "interpret", "bf16_obj",
-                     "scan_impl", "prefetch", "ablate", "ewa_impl"),
+                     "scan_impl", "prefetch", "ablate", "ewa_impl",
+                     "feat_prec"),
 )
 def composite_windowed(
     gb: jax.Array,      # [NB_total, CH, 128] anchor-sorted blocked row store
@@ -534,6 +586,7 @@ def composite_windowed(
     prefetch: bool = False,  # double-buffered window DMA (issue t+1 at t)
     ablate: str = "",  # PERF DIAGNOSIS ONLY — disables a kernel stage
     ewa_impl: str = "vpu",  # "vpu" longhand | "quad" 6-basis MXU expansion
+    feat_prec: str = "highest",  # feature-matmul MXU precision (config doc)
     tile_offset=None,  # global id of local tile 0 (shard_map slices)
 ):
     """Returns (accum [NT, PIX, n_feat], T_final [NT, PIX])."""
@@ -554,7 +607,7 @@ def composite_windowed(
         _kernel, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min, t_min=t_min,
         chunk=K, n_span=n_span, w_blocks=w_blocks,
         bf16_obj=bf16_obj, scan_impl=scan_impl, prefetch=prefetch,
-        ablate=ablate, ewa_impl=ewa_impl,
+        ablate=ablate, ewa_impl=ewa_impl, feat_prec=feat_prec,
     )
     in_specs = [
         pl.BlockSpec((1, K_TILE // 128, 128), lambda t, c, *_: (t, 0, 0),
@@ -593,3 +646,267 @@ def composite_windowed(
     )(counts.astype(jnp.int32), bases.astype(jnp.int32),
       dests.astype(jnp.int32), nblks.astype(jnp.int32), tile_offset, *inputs)
     return acc, T[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# In-kernel-sort variant: no host pair sort, no table — the kernel builds and
+# depth-orders its own candidate list from the DMA'd window.
+# ---------------------------------------------------------------------------
+
+_SORT_ROWS = 16          # bitonic sort extent: 16×128 = 2048 candidate slots
+_IDX_BITS = 11           # low key bits carry the window-local row id
+_IDX_MASK = (1 << _IDX_BITS) - 1
+_KEY_INVALID = 0x7FFFFFFF
+
+
+def _kernel_sorted(bases_ref, dests_ref, nblks_ref, sstart_ref, send_ref,
+                   toff_ref, gb_ref, acc_out, t_out, nv_out, cand, gsel,
+                   acc_s, t_s, order_s, nv_s, sems, *, tile, tiles_x,
+                   alpha_min, t_min, chunk, n_span, w_blocks, k_tile,
+                   scan_impl, ablate, ewa_impl, feat_prec):
+    """Windowed forward with IN-KERNEL depth ordering (render path).
+
+    The host-table path pays a ~3.3M-lane global `lax.sort` plus table
+    fill/translate (~8 ms at the 720p bench point) to hand the kernel a
+    depth-ordered work list. But everything the list encodes is derivable
+    from data already in VMEM after the span DMAs: per window row, validity
+    = (in its span) ∧ (this tile inside the row's rect) ∧ (conic-q min ≤
+    alpha-gate level), and the order key is the packed 16-bit quantized
+    depth. So this kernel builds `(dq << 11) | window_idx` keys itself and
+    bitonic-sorts 2048 lanes in VMEM (~µs/tile, `pallas_sort`). Ties break
+    by window position — identical to the host pair sort's (key, gid)
+    order, because window position is monotone in sorted-row id.
+
+    Coverage note: validity is the EXACT alpha-gate test — no mid/big tier
+    buffers, so the tier-saturation drop mode of the host path does not
+    exist here. A tile's first `k_tile` nearest candidates composite; the
+    rest are counted in `nv_out` (capacity overflow = nv − k_tile).
+    """
+    t = pl.program_id(0)
+    tg = t + toff_ref[0]
+    c = pl.program_id(1)
+    NC = pl.num_programs(1)
+    K = chunk
+    CH = gb_ref.shape[1]
+
+    @pl.when(c == 0)
+    def _():
+        acc_s[...] = jnp.zeros_like(acc_s)
+        t_s[...] = jnp.ones_like(t_s)
+        for j in range(n_span):
+            base = bases_ref[t * n_span + j]
+            dest = dests_ref[t * n_span + j]
+            nblk = nblks_ref[t * n_span + j]
+            for b in range(w_blocks):
+                @pl.when(b < nblk)
+                def _():
+                    pltpu.make_async_copy(
+                        gb_ref.at[pl.ds(base + b, 1)],
+                        cand.at[pl.ds(dest + b, 1)], sems.at[j]).start()
+        for j in range(n_span):
+            base = bases_ref[t * n_span + j]
+            dest = dests_ref[t * n_span + j]
+            nblk = nblks_ref[t * n_span + j]
+            for b in range(w_blocks):
+                @pl.when(b < nblk)
+                def _():
+                    pltpu.make_async_copy(
+                        gb_ref.at[pl.ds(base + b, 1)],
+                        cand.at[pl.ds(dest + b, 1)], sems.at[j]).wait()
+
+        # ---- per-row validity + sort keys, one [1,128] lane row per block
+        from sags_tpu.ops.pallas_sort import bitonic_sort_rl
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        tx = tg % tiles_x
+        ty = tg // tiles_x
+        txf = tx.astype(jnp.float32)
+        tyf = ty.astype(jnp.float32)
+        T = float(tile)
+        rows = []
+        for b in range(_SORT_ROWS if ablate != "nokeys" else 0):
+            if b >= w_blocks:
+                rows.append(jnp.full((1, 128), _KEY_INVALID, jnp.int32))
+                continue
+            in_any = jnp.bool_(False)
+            base_b = jnp.int32(0)
+            s_b = jnp.int32(0)
+            e_b = jnp.int32(0)
+            for j in range(n_span):
+                d = dests_ref[t * n_span + j]
+                n = nblks_ref[t * n_span + j]
+                hit = (d <= b) & (b < d + n)
+                base_b = jnp.where(hit, bases_ref[t * n_span + j] + (b - d),
+                                   base_b)
+                s_b = jnp.where(hit, sstart_ref[t * n_span + j], s_b)
+                e_b = jnp.where(hit, send_ref[t * n_span + j], e_b)
+                in_any = in_any | hit
+            blk = cand[b]  # [CH, 128]; unallocated blocks read garbage —
+            # every use below is masked by `ok` (NaN compares are False)
+            grow = base_b * 128 + lane
+            ok = in_any & (grow >= s_b) & (grow < e_b)
+            rx = blk[COL_RMIN_X:COL_RMIN_X + 1, :].astype(jnp.int32)
+            ry = blk[COL_RMIN_Y:COL_RMIN_Y + 1, :].astype(jnp.int32)
+            rw = blk[COL_RECT_W:COL_RECT_W + 1, :].astype(jnp.int32)
+            rh = blk[COL_RECT_H:COL_RECT_H + 1, :].astype(jnp.int32)
+            ok = ok & (rx <= tx) & (tx < rx + rw) & (ry <= ty) & (ty < ry + rh)
+            # exact alpha cull (mirror of rasterize._tile_qmin/_cull_c2)
+            mx, my = blk[0:1, :], blk[1:2, :]
+            qa, qb, qc = blk[2:3, :], blk[3:4, :], blk[4:5, :]
+            op = blk[5:6, :]
+            c2 = jnp.maximum(
+                2.0 * jnp.log(jnp.maximum(op / alpha_min, 1e-12)), 0.0
+            ) * (1.0 + 1e-5) + 1e-6
+            x0 = txf * T - mx
+            x1 = txf * T + (T - 1.0) - mx
+            y0 = tyf * T - my
+            y1 = tyf * T + (T - 1.0) - my
+            inside = (x0 <= 0.0) & (0.0 <= x1) & (y0 <= 0.0) & (0.0 <= y1)
+            a_s = jnp.maximum(qa, 1e-12)
+            c_s = jnp.maximum(qc, 1e-12)
+
+            def q_edge_x(xf):
+                dy = jnp.clip(-qb * xf / c_s, y0, y1)
+                return qa * xf * xf + 2.0 * qb * xf * dy + qc * dy * dy
+
+            def q_edge_y(yf):
+                dx = jnp.clip(-qb * yf / a_s, x0, x1)
+                return qa * dx * dx + 2.0 * qb * dx * yf + qc * yf * yf
+
+            qmin = jnp.minimum(
+                jnp.minimum(q_edge_x(x0), q_edge_x(x1)),
+                jnp.minimum(q_edge_y(y0), q_edge_y(y1)),
+            )
+            qmin = jnp.where(inside, 0.0, qmin)
+            ok = ok & (qmin <= c2)
+            dqv = blk[COL_DQ:COL_DQ + 1, :].astype(jnp.int32)
+            key = jnp.where(
+                ok, (dqv << _IDX_BITS) | (b * 128 + lane), _KEY_INVALID)
+            rows.append(key)
+        if ablate == "nokeys":  # PERF DIAGNOSIS: skip the key math
+            ii = jax.lax.broadcasted_iota(
+                jnp.int32, (_SORT_ROWS, 128), 1)
+            keys = jnp.where(ii < 64, ii << _IDX_BITS, _KEY_INVALID)
+        else:
+            keys = jnp.concatenate(rows, axis=0)  # [_SORT_ROWS, 128]
+        nv = jnp.sum((keys != _KEY_INVALID).astype(jnp.int32))
+        if ablate == "nosort":  # PERF DIAGNOSIS: skip the bitonic network
+            order_s[...] = keys
+        else:
+            order_s[...] = bitonic_sort_rl(keys)
+        nv_s[0] = nv
+        # nv rides out through an (8,128) VMEM block shared by 8 tiles
+        # (TPU block-shape minimum); host reads column 0 of row t.
+        nv_out[pl.ds(t % 8, 1)] = jnp.full((1, 128), nv, jnp.int32)
+
+    @pl.when((c * K < nv_s[0]) & (jnp.max(t_s[...]) >= t_min))
+    def _():
+        def idx_of(kb):
+            krow = order_s[c * (K // 128) + kb]  # [128] sorted keys
+            return jnp.where(krow != _KEY_INVALID,
+                             jnp.bitwise_and(krow, _IDX_MASK), -1)
+
+        _select_and_composite(
+            idx_of, lambda b: cand[b], gsel, acc_s, t_s, tg, K=K, CH=CH,
+            tile=tile, tiles_x=tiles_x, alpha_min=alpha_min, t_min=t_min,
+            w_blocks=w_blocks, bf16_obj=False, scan_impl=scan_impl,
+            ablate=ablate, ewa_impl=ewa_impl, feat_prec=feat_prec,
+        )
+
+    @pl.when(c == NC - 1)
+    def _():
+        acc_out[0] = acc_s[...]
+        t_out[0] = t_s[...][:, 0:1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_feat", "tile", "tiles_x", "alpha_min", "t_min",
+                     "chunk", "n_span", "w_blocks", "k_tile", "interpret",
+                     "scan_impl", "ablate", "ewa_impl", "feat_prec"),
+)
+def composite_windowed_sorted(
+    gb: jax.Array,       # [NB_total, CH, 128] anchor-sorted blocked rows
+    bases: jax.Array,    # [NT * n_span] span source block ids
+    dests: jax.Array,    # [NT * n_span] span dest block offset in the window
+    nblks: jax.Array,    # [NT * n_span] blocks allocated to the span
+    sstarts: jax.Array,  # [NT * n_span] span start row (global, inclusive)
+    sends: jax.Array,    # [NT * n_span] span end row (global, exclusive)
+    n_feat: int,
+    tile: int,
+    tiles_x: int,
+    alpha_min: float = 1.0 / 255.0,
+    t_min: float = 1e-4,
+    chunk: int = 256,
+    n_span: int = 4,
+    w_blocks: int = 12,
+    k_tile: int = 512,   # per-tile compositing capacity (depth-nearest)
+    interpret: bool = False,
+    scan_impl: str = "roll",
+    ablate: str = "",
+    ewa_impl: str = "vpu",
+    feat_prec: str = "highest",
+    tile_offset=None,
+):
+    """Forward-only windowed compositor with in-kernel depth ordering.
+
+    Returns (accum [NT, PIX, n_feat], T_final [NT, PIX], nv [NT] int32 —
+    the exact per-tile alpha-gate-valid candidate count, BEFORE the k_tile
+    capacity cut). NOT differentiable (render path; training uses the
+    table-based or classic paths)."""
+    NT = bases.shape[0] // n_span
+    CH = gb.shape[1]
+    PIX = tile * tile
+    CF = n_feat
+    assert w_blocks <= _SORT_ROWS, (w_blocks, _SORT_ROWS)
+    assert w_blocks * 128 <= (1 << _IDX_BITS) * 1, "window ids exceed key bits"
+    K = min(chunk, k_tile)
+    assert K % 128 == 0 and k_tile % K == 0
+    assert k_tile <= _SORT_ROWS * 128
+    NC = k_tile // K
+
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
+    else:
+        tile_offset = jnp.asarray(tile_offset, jnp.int32).reshape(1)
+    kern = functools.partial(
+        _kernel_sorted, tile=tile, tiles_x=tiles_x, alpha_min=alpha_min,
+        t_min=t_min, chunk=K, n_span=n_span, w_blocks=w_blocks,
+        k_tile=k_tile, scan_impl=scan_impl, ablate=ablate, ewa_impl=ewa_impl,
+        feat_prec=feat_prec,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(NT, NC),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, PIX, CF), lambda t, c, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 1), lambda t, c, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda t, c, *_: (t // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((w_blocks, CH, 128), jnp.float32),
+            pltpu.VMEM((CH, K), jnp.float32),
+            pltpu.VMEM((PIX, CF), jnp.float32),
+            pltpu.VMEM((PIX, 1), jnp.float32),
+            pltpu.VMEM((_SORT_ROWS, 128), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((n_span,)),
+        ],
+    )
+    acc, T, nv = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((NT, PIX, CF), jnp.float32),
+            jax.ShapeDtypeStruct((NT, PIX, 1), jnp.float32),
+            jax.ShapeDtypeStruct((-(-NT // 8) * 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bases.astype(jnp.int32), dests.astype(jnp.int32),
+      nblks.astype(jnp.int32), sstarts.astype(jnp.int32),
+      sends.astype(jnp.int32), tile_offset, gb)
+    return acc, T[..., 0], nv[:NT, 0]

@@ -402,7 +402,8 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeC
     key = jnp.stack(keys, axis=0)  # [MT, P] — P on the lane axis
     gid = jnp.broadcast_to(gid_row[None, :], (MT, P))
 
-    key_s, gid_s = jax.lax.sort((key.reshape(-1), gid.reshape(-1)), num_keys=1)
+    # ties in (tile,dq) break by Gaussian id — reference stable-radix order
+    key_s, gid_s = jax.lax.sort((key.reshape(-1), gid.reshape(-1)), num_keys=2)
 
     starts = jnp.searchsorted(key_s, jnp.arange(NT + 1, dtype=jnp.int32) << 16)
     seg = starts[1:] - starts[:-1]
@@ -685,6 +686,7 @@ def _prepare_windowed(
     tiles_x: int,
     tiles_y: int,
     cfg: RasterizeConfig,
+    build_table: bool = True,
 ):
     """Anchor-sort packed rows (plus slice-store copies of big-rect
     Gaussians), build the depth-ordered per-tile table in window-local
@@ -693,6 +695,17 @@ def _prepare_windowed(
     Returns (G_s, table_rows, table_local_blocks, counts, bases, dests,
     nblks, n_binned, overflow_rect, overflow_tile, overflow_window,
     overflow_big).
+
+    `build_table=False` (the in-kernel-sort render path,
+    `pallas_windowed.composite_windowed_sorted`): skips the pair expansion,
+    the global pair sort and the table build/translate entirely — the
+    kernel derives validity and depth order from the DMA'd rows itself.
+    Returns (G_s, bases, dests, nblks, sstarts, sends, overflow_rect,
+    overflow_window_raw, overflow_big); counts/overflow_tile/n_binned come
+    back from the kernel's per-tile valid-candidate counts (`nv`), and
+    overflow_window_raw counts *raw span rows* the block budget truncated
+    (pre rect/cull filter — an upper bound of the host path's post-filter
+    `overflow_window`).
     """
     from sags_tpu.ops.pallas_windowed import (
         COL_DQ, COL_RCULL2, COL_RECT_H, COL_RECT_W, COL_RMIN_X, COL_RMIN_Y,
@@ -807,6 +820,42 @@ def _prepare_windowed(
     rowstart = jnp.searchsorted(
         akey_s, jnp.arange(NT + 1, dtype=jnp.int32) << 16
     ).astype(jnp.int32)
+
+    if not build_table:
+        # In-kernel-sort mode: the span DMA plan is all the kernel needs —
+        # no pair expansion, no global pair sort, no table.
+        t_iota = jnp.arange(NT, dtype=jnp.int32)
+        ty, tx = t_iota // tiles_x, t_iota % tiles_x
+        col0 = jnp.maximum(tx - (R - 1), 0)
+        bases, dests, nblks, sstarts, sends = [], [], [], [], []
+        dest = jnp.zeros_like(t_iota)
+        ov_raw = jnp.int32(0)
+        for j in range(R):
+            row = ty - (R - 1) + j
+            rvalid = row >= 0
+            rowc = jnp.maximum(row, 0)
+            s_j = jnp.where(rvalid, rowstart[rowc * tiles_x + col0], 0)
+            e_j = jnp.where(rvalid, rowstart[rowc * tiles_x + tx + 1], 0)
+            base_j = s_j // 128  # 128-aligned DMA base block
+            need = jnp.where(e_j > s_j, -((base_j * 128 - e_j) // 128), 0)
+            nblk = jnp.minimum(need, NB - dest)
+            # raw span rows the block budget truncated (pre rect/cull —
+            # upper bound of genuinely lost candidates; counted, adapted)
+            covered = jnp.clip((base_j + nblk) * 128 - s_j, 0, e_j - s_j)
+            ov_raw = ov_raw + jnp.sum((e_j - s_j) - covered)
+            bases.append(base_j)
+            dests.append(dest)
+            nblks.append(nblk)
+            sstarts.append(s_j)
+            sends.append(e_j)
+            dest = dest + nblk
+        bases = jnp.stack(bases, axis=1).reshape(-1)  # [NT*R]
+        dests = jnp.stack(dests, axis=1).reshape(-1)
+        nblks = jnp.stack(nblks, axis=1).reshape(-1)
+        sstarts = jnp.stack(sstarts, axis=1).reshape(-1)
+        sends = jnp.stack(sends, axis=1).reshape(-1)
+        return (G_s, bases, dests, nblks, sstarts, sends,
+                overflow_rect, ov_raw, overflow_big0)
 
     # --- pair expansion over the sorted rows (payload = sorted row id) ---
     # Three tiers: a 2×2 window for EVERY Gaussian, the 5 extra 3×3-ring
@@ -924,7 +973,12 @@ def _prepare_windowed(
 
     key = jnp.concatenate([k.reshape(-1) for k in keys])
     gid = jnp.concatenate([g.reshape(-1) for g in gids])
-    key_s, idx_s = jax.lax.sort((key, gid), num_keys=1)
+    # num_keys=2: ties in (tile,dq) break by sorted-row id — the reference's
+    # stable radix over gid-major pair generation gives the same order
+    # (`rasterizer_impl.cu:250-270`), and the in-kernel-sort path's
+    # (dq << 11) | window_idx keys are monotone in gid, so all three orders
+    # agree and host/kernel parity is deterministic.
+    key_s, idx_s = jax.lax.sort((key, gid), num_keys=2)
 
     starts = jnp.searchsorted(key_s, jnp.arange(NT + 1, dtype=jnp.int32) << 16)
     seg = starts[1:] - starts[:-1]
@@ -1055,6 +1109,7 @@ def _composite_windowed_with_xla_vjp(
             prefetch=bool(getattr(cfg, "window_prefetch", False)),
             ablate=str(getattr(cfg, "window_ablate", "")),
             ewa_impl=str(getattr(cfg, "ewa_impl", "vpu")),
+            feat_prec=str(getattr(cfg, "feature_precision", "highest")),
             tile_offset=toff,
         )
         if bf16_obj:
@@ -1128,6 +1183,51 @@ def _composite_windowed_with_xla_vjp(
     f.defvjp(fwd, bwd)
     return f(G_s, table_rows, table_local, counts, bases, dests, nblks,
              tile_offset)
+
+
+def _composite_windowed_kernel_sort(
+    G_s, bases, dests, nblks, sstarts, sends, n_feat, tiles_x, tiles_y, cfg,
+    tile_offset=None,
+):
+    """Forward-only windowed compositor with IN-KERNEL depth ordering
+    (`pallas_windowed.composite_windowed_sorted`): the host builds only the
+    anchor sort + span DMA plan; validity (rect ∧ exact conic-q alpha cull)
+    and depth order are derived inside the kernel from the DMA'd rows.
+    Returns (accum[..., :n_feat], T_final, nv [NT] valid-candidate counts).
+
+    NOT differentiable — the render path only. Training takes the classic
+    fused path (windowed=False) or windowed_sort="host"."""
+    from sags_tpu.ops.pallas_windowed import (
+        WIDE_CH, composite_windowed_sorted,
+    )
+
+    R = int(round(cfg.max_tiles_per_gaussian ** 0.5))
+    NB = cfg.window_blocks
+    K_TILE = cfg.tile_capacity
+    K_chunk = int(getattr(cfg, "windowed_chunk", 256))
+    if K_chunk % 128 != 0 or K_TILE % K_chunk != 0:
+        K_chunk = 256 if K_TILE % 256 == 0 else 128
+    K_chunk = min(K_chunk, K_TILE)
+    CF_in = 24
+    P = G_s.shape[0]
+    P_pad = -(-(P + NB * 128) // 128) * 128
+    CH = WIDE_CH  # in-kernel keys need the rect/dq extras (rows 32..39)
+    interpret = jax.default_backend() != "tpu"
+    G_pad = jnp.concatenate(
+        [G_s[:, :CH], jnp.zeros((P_pad - P, CH), G_s.dtype)], axis=0
+    )
+    gb = G_pad.T.reshape(CH, P_pad // 128, 128).transpose(1, 0, 2)
+    acc, T, nv = composite_windowed_sorted(
+        gb, bases, dests, nblks, sstarts, sends, CF_in, cfg.tile, tiles_x,
+        alpha_min=cfg.alpha_min, t_min=cfg.transmittance_min, chunk=K_chunk,
+        n_span=R, w_blocks=NB, k_tile=K_TILE, interpret=interpret,
+        scan_impl=str(getattr(cfg, "scan_impl", "roll")),
+        ablate=str(getattr(cfg, "window_ablate", "")),
+        ewa_impl=str(getattr(cfg, "ewa_impl", "vpu")),
+        feat_prec=str(getattr(cfg, "feature_precision", "highest")),
+        tile_offset=tile_offset,
+    )
+    return acc[..., :n_feat], T, nv
 
 
 def _composite_windowed_sharded(
@@ -1359,7 +1459,30 @@ def rasterize(
     )
     ov_win = jnp.int32(0)
     ov_big = jnp.int32(0)
-    if use_windowed:
+    use_kernel_sort = (
+        use_windowed
+        and getattr(cfg, "windowed_sort", "host") == "kernel"
+        and mesh is None
+        and not getattr(cfg, "windowed_bf16", False)
+        and cfg.window_blocks <= 16
+        and cfg.tile_capacity <= 16 * 128
+    )
+    if use_kernel_sort:
+        # Render-only fast path: no pair expansion / global pair sort /
+        # table — the kernel depth-orders its own candidates (NOT
+        # differentiable; training uses the classic or host-table paths).
+        (G_s, bases, dests, nblks, sstarts, sends, ov_rect, ov_win,
+         ov_big) = _prepare_windowed(
+            pre, obj_features, tiles_x, tiles_y, cfg, build_table=False
+        )
+        accum, T_final, nv = _composite_windowed_kernel_sort(
+            G_s, bases, dests, nblks, sstarts, sends, n_feat, tiles_x,
+            tiles_y, cfg
+        )
+        ov_tile = jnp.sum(jnp.maximum(nv - cfg.tile_capacity, 0))
+        n_binned = jnp.sum(nv)
+        px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
+    elif use_windowed:
         (G_s, table, table_local, counts, bases, dests, nblks,
          n_binned, ov_rect, ov_tile, ov_win, ov_big) = _prepare_windowed(
             pre, obj_features, tiles_x, tiles_y, cfg

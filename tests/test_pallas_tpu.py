@@ -202,6 +202,62 @@ def test_windowed_bf16_obj_matches_full_precision():
     assert 0.0 < o_rel < 2e-2, o_rel
 
 
+def test_windowed_kernel_sort_matches_host_on_chip():
+    """Compiled kernel-sort path (in-kernel bitonic depth ordering): the
+    candidate set and depth order must match the host pair-sort path —
+    final_T (order-invariant) bit-comparable, accumulated channels equal to
+    FP-association noise. Capacity/coverage counters must agree exactly."""
+    A, cam, _ = _windowed_scene()
+    cfg = dataclasses.replace(CFG, window_blocks=16, windowed_mid_frac=1.0,
+                              windowed_big_frac=1.0, windowed_big_capacity=128)
+    cfgk = dataclasses.replace(cfg, windowed_sort="kernel")
+    oh = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    ok = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfgk, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    assert int(oh.overflow_tile) == int(ok.overflow_tile)
+    assert int(oh.overflow_big) == int(ok.overflow_big)
+    if int(oh.overflow_window) == 0:
+        assert int(oh.n_binned) == int(ok.n_binned)
+        np.testing.assert_array_equal(np.asarray(ok.color),
+                                      np.asarray(oh.color))
+        np.testing.assert_array_equal(np.asarray(ok.final_T),
+                                      np.asarray(oh.final_T))
+    else:
+        # window-dropped pairs occupy (skipped) chunk slots on the host
+        # side but are compacted out in-kernel — same composited set,
+        # different chunk-boundary FP association
+        np.testing.assert_allclose(np.asarray(ok.color),
+                                   np.asarray(oh.color), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(ok.final_T),
+                                   np.asarray(oh.final_T), atol=1e-3)
+
+
+def test_windowed_feature_precision_tiers():
+    """cfg.feature_precision trades feature-matmul MXU passes for accuracy
+    (forward-only; alpha/transmittance math stays fp32 in every tier):
+    "high" (manual bf16x2 split) must stay ~1e-5 of "highest"; "default"
+    (1-pass bf16) within the documented ~4e-3 display-quantum band."""
+    A, cam, _ = _windowed_scene()
+    cfg = dataclasses.replace(CFG, window_blocks=24, windowed_mid_frac=1.0,
+                              windowed_big_frac=1.0)
+    outs = {}
+    for fp in ("highest", "high", "default"):
+        cfgp = dataclasses.replace(cfg, feature_precision=fp)
+        outs[fp] = jax.jit(lambda *a, c=cfgp: rz.rasterize(
+            a[0], a[1], a[2], a[3], cam, c, colors=a[4], obj_features=a[5],
+            windowed=True))(*A)
+    ref = np.asarray(outs["highest"].color)
+    np.testing.assert_allclose(np.asarray(outs["high"].color), ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(outs["default"].color), ref,
+                               atol=8e-3)
+    # the precision knob must not change WHICH pairs composite
+    np.testing.assert_array_equal(np.asarray(outs["default"].final_T),
+                                  np.asarray(outs["highest"].final_T))
+
+
 def test_windowed_quad_ewa_matches_longhand():
     """cfg.ewa_impl='quad' evaluates the EWA quadratic as one [PIX,6]@[6,K]
     monomial-basis matmul on tile-LOCAL coordinates instead of ~9 [PIX,K]

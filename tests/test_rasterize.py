@@ -368,6 +368,47 @@ def test_tight_rect_covers_every_live_pixel():
         assert ys.min() // t >= r0y[i] and ys.max() // t < r1y[i], i
 
 
+def test_windowed_kernel_sort_interpret_matches_host():
+    """windowed_sort="kernel" (in-kernel bitonic depth ordering,
+    `pallas_windowed._kernel_sorted`) must match the host-table windowed
+    path: with zero window overflow the candidate sets, their depth order
+    (gid tie-break on both sides) and hence the compositing chunks are
+    identical — bit-exact output. Interpret-mode CPU coverage; the on-chip
+    variant lives in test_pallas_tpu.py."""
+    rng = np.random.default_rng(5)
+    n, W, H = 512, 64, 48
+    z = rng.uniform(2.0, 10.0, (n, 1))
+    xy = rng.uniform(-0.5, 0.5, (n, 2)) * z
+    means = np.concatenate([xy, z], 1).astype(np.float32)
+    scales = (rng.uniform(0.005, 0.03, (n, 3)) * z).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, -1, keepdims=True)
+    opac = rng.uniform(0.3, 0.9, (n,)).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    objs = rng.normal(size=(n, 16)).astype(np.float32)
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                      W, H, 1.2, 0.9)
+    A = tuple(jnp.asarray(v) for v in (means, opac, scales, quats, colors, objs))
+    base = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=256,
+                           pallas_interpret=True, window_blocks=16,
+                           windowed_mid_frac=1.0, windowed_big_frac=1.0,
+                           windowed_big_capacity=64)
+    oh = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, base, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    ck = dataclasses.replace(base, windowed_sort="kernel")
+    ok = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, ck, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    assert int(oh.overflow_window) == 0 and int(ok.overflow_window) == 0
+    assert int(oh.n_binned) == int(ok.n_binned)
+    np.testing.assert_array_equal(np.asarray(ok.color), np.asarray(oh.color))
+    np.testing.assert_array_equal(np.asarray(ok.objects),
+                                  np.asarray(oh.objects))
+    np.testing.assert_array_equal(np.asarray(ok.final_T),
+                                  np.asarray(oh.final_T))
+
+
 def test_windowed_interpret_matches_xla_cpu():
     """The windowed fused fwd+bwd kernels run under Pallas interpret mode on
     CPU (`pallas_interpret`), giving the windowed path CPU-CI coverage (the
