@@ -123,6 +123,21 @@ class RasterizeConfig:
     # ceil(side/R)² copy rows; buffer saturation falls back to the classic
     # (windowed, R×R-capped) tiers and is counted in overflow_big.
     windowed_store_fracs: tuple = ((8, 0.08), (16, 0.004))
+    # Fraction of the slice-store copy rows buffered for the >2×2-slice
+    # ring tier (the R×R−4 extra offsets). 1.0 reproduces the original
+    # "never saturates" sizing; smaller fractions shrink the pair sort by
+    # 12·(1−frac)·n_copies lanes — saturation is counted in overflow_big
+    # and pipeline-adapted like every other tier. Most copies carry thin
+    # edge slices (≤2 wide) that the base tier already covers, so ~0.5 is
+    # typically lossless at SLAM operating points.
+    windowed_copy_ring_frac: float = 1.0
+    # Base-tier split: 0.0 gives EVERY row the 2×2 offset window (4 lanes
+    # each). >0 gives every row only its rect-min tile (1 lane) and routes
+    # the (1,0),(0,1),(1,1) offsets through a compacted tier of the rows
+    # with rect>1, sized frac·P_all — on SLAM scenes most Gaussians bin to
+    # 1-2 tiles, so ~0.5 cuts the pair sort by ~2·P lanes. Saturation is
+    # counted in overflow_big and pipeline-adapted.
+    windowed_base_split_frac: float = 0.0
     # MXU precision of the windowed forward's feature matmul (w @ feats):
     # "highest" = 6-pass fp32 (bit-matches the XLA reference path),
     # "high" = manual bf16x2 split, 3 one-pass dots (~1e-6 rel; Mosaic has

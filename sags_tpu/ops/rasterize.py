@@ -896,12 +896,6 @@ def _prepare_windowed(
         (P_all,), bool)
     keys, gids = [], []
 
-    RA = min(R, 2)
-    offs_a = [(x, y) for y in range(RA) for x in range(RA)]
-    keys.extend(tier_keys(offs_a, ex, rminx, rminy, rectw, recth, dq_s,
-                          valid_s))
-    gids.extend([iota] * len(offs_a))
-
     # Larger tiers: a MID tier (rect ≤ 3, the 5 extra offsets of the 3×3
     # ring) and a BIG tier (rect > 3, all R×R−4 extra offsets), each
     # compacted into its own buffer — sizing the 12-offset expansion by the
@@ -909,7 +903,7 @@ def _prepare_windowed(
     # shrinks the pair sort ~30% on SLAM scenes.
     overflow_big = overflow_big0
 
-    def _tier(sel_mask, offs, PBUF, cover_cap):
+    def _tier(sel_mask, offs, PBUF, cover_cap, base_cap=2):
         nonlocal overflow_big, keys, gids
         PBUF = min(PBUF, P_all)  # a tiny scene must not out-size its buffer
         rank = jnp.cumsum(sel_mask.astype(jnp.int32)) - 1
@@ -917,9 +911,10 @@ def _prepare_windowed(
         covered = (jnp.minimum(rectw, cover_cap)
                    * jnp.minimum(recth, cover_cap))
         # pairs truly lost by a dropped Gaussian = its tier coverage minus
-        # what the 2×2 base tier already renders (NOT a flat 4: a thin 3×1
-        # rect loses 1, not −1)
-        base2 = jnp.minimum(rectw, 2) * jnp.minimum(recth, 2)
+        # what the lower tiers already render (NOT a flat 4: a thin 3×1
+        # rect loses 1, not −1); base_cap=1 for the 2×2-remainder tier of
+        # the base split, whose lower tier is the single rect-min offset
+        base2 = jnp.minimum(rectw, base_cap) * jnp.minimum(recth, base_cap)
         overflow_big = overflow_big + jnp.sum(
             jnp.where(sel_mask & (rank >= PBUF), covered - base2, 0)
         )
@@ -937,6 +932,27 @@ def _prepare_windowed(
             exb[:, COL_DQ].astype(jnp.int32), bvalid,
         ))
         gids.extend([idx] * len(offs))
+
+    # Base tier. Default: the 2×2 offset window for EVERY row (4 lanes
+    # each). With windowed_base_split_frac > 0, every row gets only its
+    # rect-min tile and the other three 2×2 offsets ride a compacted tier
+    # of the rows (parents AND copies) that actually span >1 tile — most
+    # SLAM-scale Gaussians bin to 1-2 tiles, so this trades ~2·P sort
+    # lanes for one more compaction pass (saturation counted + adapted).
+    RA = min(R, 2)
+    split_frac = float(getattr(cfg, "windowed_base_split_frac", 0.0))
+    if RA == 2 and split_frac > 0.0:
+        keys.extend(tier_keys([(0, 0)], ex, rminx, rminy, rectw, recth,
+                              dq_s, valid_s))
+        gids.append(iota)
+        need2 = valid_s & ((rectw > 1) | (recth > 1))
+        PR = max(int(P_all * split_frac) // 128 * 128, 128)
+        _tier(need2, [(1, 0), (0, 1), (1, 1)], PR, 2, base_cap=1)
+    else:
+        offs_a = [(x, y) for y in range(RA) for x in range(RA)]
+        keys.extend(tier_keys(offs_a, ex, rminx, rminy, rectw, recth, dq_s,
+                              valid_s))
+        gids.extend([iota] * len(offs_a))
 
     n_copies = P_all - P
     if R > 2:
@@ -961,9 +977,16 @@ def _prepare_windowed(
             _tier(beyond2, offs_m, PM, 3)
         if n_copies:
             # slice-store copies with a >2-wide slice take the same R×R-ring
-            # offsets from a buffer sized to the STATIC copy total — copies
-            # are already tier-compacted, so this tier can never saturate
-            NC_BUF = -(-n_copies // 128) * 128
+            # offsets. windowed_copy_ring_frac=1.0 sizes the buffer to the
+            # STATIC copy total (copies are already tier-compacted, so it
+            # can never saturate); smaller fractions shrink the pair sort —
+            # most copies are thin edge slices the base tier covers — with
+            # saturation counted in overflow_big and pipeline-adapted.
+            crf = float(getattr(cfg, "windowed_copy_ring_frac", 1.0))
+            if crf >= 1.0:
+                NC_BUF = -(-n_copies // 128) * 128
+            else:
+                NC_BUF = max(int(n_copies * crf) // 128 * 128, 128)
             _tier(valid_s & is_copy & ((rectw > 2) | (recth > 2)),
                   offs_b if R > 3 else offs_m, NC_BUF, R)
     elif n_copies:

@@ -461,6 +461,18 @@ def test_windowed_interpret_matches_xla_cpu():
     np.testing.assert_allclose(np.asarray(oq.final_T), np.asarray(ow.final_T),
                                atol=2e-3)
 
+    # base-tier split (1 universal offset + compacted 2×2 remainder): with
+    # an ample remainder buffer the pair set is identical, so the render is
+    # bit-exact and nothing overflows
+    cfg_bs = dataclasses.replace(cfg, windowed_base_split_frac=1.0)
+    obs = jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, cfg_bs, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+    np.testing.assert_array_equal(np.asarray(obs.color), np.asarray(ow.color))
+    np.testing.assert_array_equal(np.asarray(obs.final_T),
+                                  np.asarray(ow.final_T))
+    assert int(obs.overflow_big) == 0
+
     # window_prefetch (double-buffered span DMA) is bit-exact vs the
     # single-buffered window
     cfg_pf = dataclasses.replace(cfg, window_prefetch=True)
@@ -560,6 +572,25 @@ def test_store_tier_full_coverage_matches_wide_xla():
                                np.asarray(out_w.final_T), atol=2e-3)
     np.testing.assert_allclose(np.asarray(out_s.depth),
                                np.asarray(out_w.depth), atol=2e-2)
+
+    # base-tier split with copies in the stream: identical pair set →
+    # bit-exact vs the unsplit store render, nothing overflows
+    out_bs = render(dataclasses.replace(cfg_store,
+                                        windowed_base_split_frac=1.0),
+                    windowed=True)
+    assert int(out_bs.n_binned) == int(out_s.n_binned)
+    assert int(out_bs.overflow_big) == 0
+    np.testing.assert_array_equal(np.asarray(out_bs.color),
+                                  np.asarray(out_s.color))
+
+    # a starved copy-ring buffer degrades coverage HONESTLY: fewer pairs,
+    # counted in overflow_big (the pipeline's cue to grow the fraction)
+    out_cr = render(dataclasses.replace(cfg_store,
+                                        windowed_copy_ring_frac=0.05),
+                    windowed=True)
+    assert int(out_cr.n_binned) < int(out_s.n_binned)
+    assert int(out_cr.overflow_big) > 0
+    assert np.isfinite(np.asarray(out_cr.color)).all()
 
     tgt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
 
