@@ -117,6 +117,39 @@ def bench_train(emit=True):
     return result
 
 
+def bench_pipeline():
+    """Steady-state online-SLAM frame rate: the full per-frame loop (GICP
+    tracking + map growth + keyframe/replay training) on a synthetic
+    640x512 sequence. Median of the second half of frame times — the first
+    frames carry XLA compiles. Driver-visible as `slam_frame_hz` (the
+    reference's 30 Hz loop-rate operating point,
+    `scripts/gaussian_splatting.py:645`)."""
+    from sags_tpu.core.config import (KeyframeConfig, MapConfig,
+                                      RasterizeConfig, SLAMConfig,
+                                      TrackingConfig)
+    from sags_tpu.io.datasets import SyntheticDataset
+    from sags_tpu.slam.pipeline import SLAMPipeline
+
+    n_frames = int(os.environ.get("SAGS_BENCH_PIPE_FRAMES", 24))
+    cfg = SLAMConfig(
+        raster=RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=512,
+                               chunk=64),
+        map=MapConfig(initial_capacity=131072),
+        keyframes=KeyframeConfig(keyframe_freq=5, window=16),
+        tracking=TrackingConfig(backend="gicp", max_points=4096),
+        post_train_iters=0,
+    )
+    ds = SyntheticDataset(n_frames=n_frames, width=640, height=512,
+                          n_world=65536, pts_per_frame=8192, step=0.15,
+                          clutter=0.3)
+    pipe = SLAMPipeline(cfg, point_budget=8192, rng_seed=0)
+    res = pipe.run(ds, post_train=0)
+    tail = res.frame_times[len(res.frame_times) // 2:]
+    dt = float(np.median(tail))
+    return {"slam_frame_hz": round(1.0 / dt, 2),
+            "slam_frame_ms_median": round(dt * 1000, 1)}
+
+
 def main():
     mode = os.environ.get("SAGS_BENCH_MODE", "both")
     if mode == "train":
@@ -253,6 +286,15 @@ def main():
             })
         except Exception as e:  # render metric must still be recorded
             print(f"# train bench failed: {e}", file=sys.stderr)
+        if os.environ.get("SAGS_BENCH_PIPELINE", "1") == "1":
+            try:
+                pipe = bench_pipeline()
+                result.update(pipe)
+                print(f"# pipeline steady-state: {pipe['slam_frame_hz']} Hz "
+                      f"({pipe['slam_frame_ms_median']} ms/frame median, "
+                      f"full track+grow+train loop)", file=sys.stderr)
+            except Exception as e:
+                print(f"# pipeline bench failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 

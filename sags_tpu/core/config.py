@@ -117,12 +117,16 @@ class RasterizeConfig:
     # mode (drops counted in overflow_rect/overflow_big, pipeline-adapted
     # to this knob, which acts as the on-switch).
     windowed_big_capacity: int = 0
-    windowed_store_max_rect: int = 16
+    windowed_store_max_rect: int = 32
     # Slice sub-tiers: (max_rect_side, fraction of P buffered). A rect>R
     # Gaussian lands in the first sub-tier whose side covers it and gets
     # ceil(side/R)² copy rows; buffer saturation falls back to the classic
-    # (windowed, R×R-capped) tiers and is counted in overflow_big.
-    windowed_store_fracs: tuple = ((8, 0.08), (16, 0.004))
+    # (windowed, R×R-capped) tiers and is counted in overflow_big. The 32
+    # tier is sized for the heavy tail's tail (measured at the 720p bench
+    # point: 13 of 262k Gaussians exceed side 16, none exceed 20 — a
+    # 128-row buffer zeroes overflow_rect for ~8k extra sort lanes);
+    # rect > 32 still truncates to 32 and stays counted.
+    windowed_store_fracs: tuple = ((8, 0.08), (16, 0.004), (32, 0.0005))
     # Fraction of the slice-store copy rows buffered for the >2×2-slice
     # ring tier (the R×R−4 extra offsets). 1.0 reproduces the original
     # "never saturates" sizing; smaller fractions shrink the pair sort by
@@ -245,7 +249,10 @@ class GICPConfig:
 
 @dataclass(frozen=True)
 class TrackingConfig:
-    backend: str = "gicp"  # gicp | vgicp | esikf | none (poses given)
+    # gicp | vgicp (scan-to-scan) | gicp_map (scan-to-MAP against the
+    # trackable Gaussians, `fast_gicp_impl.hpp:586-720`) | esikf | none
+    # (poses given)
+    backend: str = "gicp"
     opacity_threshold: float = 0.9
     downsample_resolution: float = 0.1
     max_points: int = 8192  # static-shape cap for the tracker's point budget

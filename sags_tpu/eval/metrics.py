@@ -44,23 +44,30 @@ _lpips_model = None
 
 
 def lpips(pred: np.ndarray, gt: np.ndarray) -> Optional[float]:
-    """LPIPS(alex) if torchmetrics + weights are available, else None."""
+    """LPIPS(alex) if torchmetrics + weights are available, else None.
+
+    Only true UNAVAILABILITY (missing package, undownloadable weights) maps
+    to None — shape/dtype/compute errors propagate so a real bug can't hide
+    behind the "LPIPS unavailable" answer.
+    """
     global _lpips_model
     try:
         import torch
-
-        if _lpips_model is None:
-            from torchmetrics.image.lpip import (
-                LearnedPerceptualImagePatchSimilarity,
-            )
-
-            _lpips_model = LearnedPerceptualImagePatchSimilarity(net_type="alex")
-        a = torch.from_numpy(np.asarray(pred, np.float32))[None] * 2 - 1
-        b = torch.from_numpy(np.asarray(gt, np.float32))[None] * 2 - 1
-        with torch.no_grad():
-            return float(_lpips_model(a, b))
-    except Exception:
+        from torchmetrics.image.lpip import (
+            LearnedPerceptualImagePatchSimilarity,
+        )
+    except ImportError:
         return None
+    if _lpips_model is None:
+        try:
+            _lpips_model = LearnedPerceptualImagePatchSimilarity(net_type="alex")
+        except (OSError, RuntimeError, ValueError):
+            # weights not downloadable in an egress-less environment
+            return None
+    a = torch.from_numpy(np.asarray(pred, np.float32))[None] * 2 - 1
+    b = torch.from_numpy(np.asarray(gt, np.float32))[None] * 2 - 1
+    with torch.no_grad():
+        return float(_lpips_model(a, b))
 
 
 def evaluate_pair(pred: np.ndarray, gt: np.ndarray) -> Dict[str, Optional[float]]:

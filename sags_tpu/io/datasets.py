@@ -32,13 +32,21 @@ class Frame:
     image: np.ndarray  # [3,H,W] float32 in [0,1]
     points: np.ndarray  # [N,3] float32, world frame
     colors: np.ndarray  # [N,3] float32 in [0,1]
-    pose: np.ndarray  # [4,4] camera-to-world
+    # camera-to-world odometry pose. None = pose-LESS frame: tracking must
+    # estimate it from `scan` (the reference's raw-sensor odometry contract,
+    # `python_tester/gicp_odometry2.py:126-166`) and the pipeline registers
+    # `scan` into the world with the ESTIMATE. `points` may then be empty.
+    pose: Optional[np.ndarray]
     timestamp: float
     depth: Optional[np.ndarray] = None  # [H,W] float32 meters (if available)
     # IMU samples since the previous frame: [M,7] = gyro xyz (rad/s, body),
     # accel xyz (m/s² specific force, body), dt (s). The FAST-LIVO2 front-end
     # consumes these through esikf.propagate.
     imu: Optional[np.ndarray] = None
+    # [N,3] float32 SENSOR-frame scan (world = scan @ R.T + t). Trackers
+    # consume this; when absent, legacy world-frame frames are un-projected
+    # through `pose` (which then must exist).
+    scan: Optional[np.ndarray] = None
 
 
 def associate_timestamps(
@@ -252,7 +260,12 @@ class SyntheticDataset:
     def __init__(self, n_frames=20, width=160, height=120, n_world=4096,
                  pts_per_frame=2048, seed=0, fovx=1.2, fovy=1.0,
                  max_range=8.0, step=0.4, clutter=0.0, imu_substeps=0,
-                 frame_dt=0.1):
+                 frame_dt=0.1, pose_free=False):
+        # pose_free: yielded frames carry pose=None and NO world points —
+        # only the sensor-frame scan (the raw-odometry contract; the
+        # pipeline must estimate poses and register scans itself). GT stays
+        # reachable through self.pose(i) for external ATE evaluation.
+        self.pose_free = pose_free
         self.n_frames = n_frames
         self.width, self.height = width, height
         self.fovx, self.fovy = fovx, fovy
@@ -409,15 +422,28 @@ class SyntheticDataset:
             idx = np.nonzero(vis)[0]
             sel = self._rng.choice(idx, min(self.pts_per_frame, len(idx)),
                                    replace=False)
-            yield Frame(
-                image=img,
-                points=self.world_xyz[sel],
-                colors=self.world_rgb[sel],
-                pose=pose,
-                timestamp=i * self.frame_dt,
-                depth=depth,
-                imu=imu,
-            )
+            if self.pose_free:
+                yield Frame(
+                    image=img,
+                    points=np.zeros((0, 3), np.float32),
+                    colors=self.world_rgb[sel],
+                    pose=None,
+                    timestamp=i * self.frame_dt,
+                    depth=depth,
+                    imu=imu,
+                    scan=rel[sel].astype(np.float32),
+                )
+            else:
+                yield Frame(
+                    image=img,
+                    points=self.world_xyz[sel],
+                    colors=self.world_rgb[sel],
+                    pose=pose,
+                    timestamp=i * self.frame_dt,
+                    depth=depth,
+                    imu=imu,
+                    scan=rel[sel].astype(np.float32),
+                )
 
     def velocity(self, i: int) -> np.ndarray:
         """Analytic world velocity at frame i (for initializing filters)."""

@@ -31,14 +31,22 @@ class DeviceFrame(NamedTuple):
     mask: jax.Array  # [P]
     pose: jax.Array  # [4,4]
     timestamp: float
+    # True = `points` holds the SENSOR-frame scan (pose-less frame): the
+    # consumer must transform by its pose ESTIMATE before map registration
+    sensor_frame: bool = False
 
 
 def stage_frame(frame: Frame, point_budget: int, device=None) -> DeviceFrame:
-    n = min(len(frame.points), point_budget)
+    # A pose-less frame stages its sensor scan in the points slot — the
+    # upload still overlaps compute; only the (cheap, on-device) world
+    # transform waits for the tracker's estimate.
+    sensor = frame.pose is None
+    src = frame.scan if sensor else frame.points
+    n = min(len(src), point_budget)
     pts = np.zeros((point_budget, 3), np.float32)
     cols = np.zeros((point_budget, 3), np.float32)
     msk = np.zeros(point_budget, bool)
-    pts[:n] = frame.points[:n]
+    pts[:n] = src[:n]
     cols[:n] = frame.colors[:n]
     msk[:n] = True
     put = lambda x: jax.device_put(x, device)
@@ -47,8 +55,10 @@ def stage_frame(frame: Frame, point_budget: int, device=None) -> DeviceFrame:
         points=put(jnp.asarray(pts)),
         colors=put(jnp.asarray(cols)),
         mask=put(jnp.asarray(msk)),
-        pose=put(jnp.asarray(frame.pose)),
+        pose=put(jnp.eye(4, dtype=jnp.float32) if sensor
+                 else jnp.asarray(frame.pose)),
         timestamp=frame.timestamp,
+        sensor_frame=sensor,
     )
 
 

@@ -495,3 +495,29 @@ def get_trackable_gaussians(m: GaussianMap, opacity_th: float):
     (xyz, rotation, scaling, mask) of trackable high-opacity Gaussians."""
     sel = (get_opacity(m) > opacity_th) & m.trackable & m.active
     return m.xyz, get_rotation(m), get_scaling(m), sel
+
+
+@functools.partial(jax.jit, static_argnames=("budget",))
+def trackable_subset(m: GaussianMap, opacity_th: float, budget: int):
+    """Fixed-budget scan-to-map tracking target: (points, covariances, mask).
+
+    Compacts the trackable high-opacity Gaussians (`get_trackable_gaussians`)
+    to `budget` rows — xyz plus the Σ = R S S Rᵀ ellipsoid covariances the
+    reference's fork exports for exactly this use
+    (`fast_gicp_impl.hpp:586-720` `set_target_covariance_fromqs`,
+    `gaussian_model.py:232-240`) — so the GICP tracker can align raw scans
+    against the MAP instead of the previous scan.
+    """
+    from sags_tpu.ops.gicp import covariances_from_qs
+
+    xyz, rot, scal, sel = get_trackable_gaussians(m, opacity_th)
+    cap = xyz.shape[0]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    _, idx = jax.lax.sort(
+        (jnp.where(sel, 0, 1).astype(jnp.int32), iota), num_keys=1
+    )
+    idx = idx[:budget]
+    n_sel = jnp.sum(sel.astype(jnp.int32))
+    mask = jnp.arange(budget) < jnp.minimum(n_sel, budget)
+    covs = covariances_from_qs(rot[idx], scal[idx])
+    return xyz[idx], covs, mask, n_sel

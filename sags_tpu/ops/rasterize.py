@@ -903,9 +903,14 @@ def _prepare_windowed(
     # shrinks the pair sort ~30% on SLAM scenes.
     overflow_big = overflow_big0
 
-    def _tier(sel_mask, offs, PBUF, cover_cap, base_cap=2):
+    def _tier(sel_mask, offs, PBUF, cover_cap, base_cap=2, row_cap=None):
         nonlocal overflow_big, keys, gids
         PBUF = min(PBUF, P_all)  # a tiny scene must not out-size its buffer
+        # row_cap: exact admission limit (≤ PBUF). The buffer SHAPE stays
+        # 128-aligned for the TPU lane layout, but a fractional knob must
+        # starve at its stated fraction, not at the next 128-block — rows
+        # past the cap are dropped and counted, even inside the first block.
+        cap = PBUF if row_cap is None else min(int(row_cap), PBUF)
         rank = jnp.cumsum(sel_mask.astype(jnp.int32)) - 1
         n_sel = jnp.sum(sel_mask)
         covered = (jnp.minimum(rectw, cover_cap)
@@ -916,14 +921,14 @@ def _prepare_windowed(
         # the base split, whose lower tier is the single rect-min offset
         base2 = jnp.minimum(rectw, base_cap) * jnp.minimum(recth, base_cap)
         overflow_big = overflow_big + jnp.sum(
-            jnp.where(sel_mask & (rank >= PBUF), covered - base2, 0)
+            jnp.where(sel_mask & (rank >= cap), covered - base2, 0)
         )
         _, idx = jax.lax.sort(
             (jnp.where(sel_mask, 0, 1).astype(jnp.int32), iota), num_keys=1
         )
         idx = idx[:PBUF]
         exb = ex[idx]  # one small row gather
-        bvalid = jnp.arange(PBUF) < jnp.minimum(n_sel, PBUF)
+        bvalid = jnp.arange(PBUF) < jnp.minimum(n_sel, cap)
         keys.extend(tier_keys(
             offs, exb, exb[:, COL_RMIN_X].astype(jnp.int32),
             exb[:, COL_RMIN_Y].astype(jnp.int32),
@@ -984,11 +989,12 @@ def _prepare_windowed(
             # saturation counted in overflow_big and pipeline-adapted.
             crf = float(getattr(cfg, "windowed_copy_ring_frac", 1.0))
             if crf >= 1.0:
-                NC_BUF = -(-n_copies // 128) * 128
+                NC_CAP = n_copies
             else:
-                NC_BUF = max(int(n_copies * crf) // 128 * 128, 128)
+                NC_CAP = max(int(n_copies * crf), 1)
+            NC_BUF = -(-NC_CAP // 128) * 128
             _tier(valid_s & is_copy & ((rectw > 2) | (recth > 2)),
-                  offs_b if R > 3 else offs_m, NC_BUF, R)
+                  offs_b if R > 3 else offs_m, NC_BUF, R, row_cap=NC_CAP)
     elif n_copies:
         # R == 2: the 2×2 base IS the full span window; slices are ≤ 2×2
         # and the base tier already covers them

@@ -99,16 +99,31 @@ class SLAMPipeline:
 
     def _track(self, frame: Frame) -> np.ndarray:
         """Estimate the frame pose. 'none' trusts frame.pose (odometry topic);
-        GICP modes run scan-to-scan alignment; 'esikf' runs the iterated
-        Kalman update against an accumulated surfel voxel map (the
-        FAST-LIVO2-style front-end)."""
+        'gicp'/'vgicp' run scan-to-scan alignment; 'gicp_map' aligns the scan
+        against the Gaussian MAP's trackable subset (the GS-ICP-SLAM lineage
+        the reference forked fast_gicp for, `fast_gicp_impl.hpp:586-720`);
+        'esikf' runs the iterated Kalman update against an accumulated surfel
+        voxel map (the FAST-LIVO2-style front-end).
+
+        Trackers consume `frame.scan` (raw sensor points) when present —
+        `frame.pose` is then NEVER read, so pose-less streams track. Legacy
+        world-frame frames without a scan are un-projected through the pose
+        they carry."""
         mode = self.cfg.tracking.backend
         if mode == "none":
+            if frame.pose is None:
+                raise ValueError(
+                    "tracking.backend='none' consumes odometry poses, but "
+                    "this frame carries none — use a tracking backend")
             return np.asarray(frame.pose, np.float32)
 
-        # sensor-frame scan (synthetic frames carry world points + gt pose)
-        Tw = np.asarray(frame.pose, np.float32)
-        scan = (frame.points - Tw[:3, 3]) @ Tw[:3, :3]
+        if frame.scan is not None:
+            scan = np.asarray(frame.scan, np.float32)
+        else:
+            if frame.pose is None:
+                raise ValueError("frame has neither scan nor pose")
+            Tw = np.asarray(frame.pose, np.float32)
+            scan = (frame.points - Tw[:3, 3]) @ Tw[:3, :3]
 
         budget = self.cfg.tracking.max_points
         pad = lambda a: np.pad(a, ((0, max(0, budget - len(a))), (0, 0)))[:budget]
@@ -117,6 +132,9 @@ class SLAMPipeline:
 
         if mode == "esikf":
             return self._track_esikf(scan_p, msk, frame.imu, frame.timestamp)
+
+        if mode == "gicp_map":
+            return self._track_gicp_map(scan_p, msk)
 
         if self._prev_scan is None:
             self._prev_scan = (scan_p, msk)
@@ -130,6 +148,36 @@ class SLAMPipeline:
         )
         delta = np.asarray(res.T)
         self._track_T = (self._track_T @ delta).astype(np.float32)
+        self._prev_scan = (scan_p, msk)
+        return self._track_T.copy()
+
+    def _track_gicp_map(self, scan_p: np.ndarray, msk: np.ndarray) -> np.ndarray:
+        """Scan-to-MAP GICP: align against the trackable Gaussians' (xyz,
+        Σ from q,s) — the map is the drift-free target, so pose error stops
+        compounding frame-over-frame the way scan-to-scan deltas do
+        (`gaussian_model.py:232-240` + the fast_gicp fork's fromqs API).
+        Falls back to scan-to-scan while the map is too thin to anchor."""
+        tcfg = self.cfg.tracking
+        tgt, tcov, tmask, n_sel = gm.trackable_subset(
+            self.state.map, tcfg.opacity_threshold, tcfg.max_points
+        )
+        if int(n_sel) < 64:
+            # thin map (first frames): one scan-to-scan delta keeps motion
+            if self._prev_scan is not None:
+                prev_p, prev_m = self._prev_scan
+                res = gicp_ops.gicp_align(
+                    jnp.asarray(scan_p), jnp.asarray(prev_p), jnp.asarray(msk),
+                    jnp.asarray(prev_m), jnp.eye(4), self.cfg.gicp,
+                )
+                self._track_T = (self._track_T @ np.asarray(res.T)).astype(
+                    np.float32)
+            self._prev_scan = (scan_p, msk)
+            return self._track_T.copy()
+        res = gicp_ops.gicp_align(
+            jnp.asarray(scan_p), tgt, jnp.asarray(msk), tmask,
+            jnp.asarray(self._track_T), self.cfg.gicp, target_covs=tcov,
+        )
+        self._track_T = np.asarray(res.T).astype(np.float32)
         self._prev_scan = (scan_p, msk)
         return self._track_T.copy()
 
@@ -316,11 +364,20 @@ class SLAMPipeline:
             t_frame = time.perf_counter()
             pose = self._track(frame)
             poses_est.append(pose)
-            poses_gt.append(np.asarray(frame.pose))
+            # pose-less frames have no GT here; callers evaluate ATE against
+            # whatever external truth they hold
+            poses_gt.append(np.full((4, 4), np.nan, np.float32)
+                            if frame.pose is None else np.asarray(frame.pose))
 
-            # grow the map with this frame's cloud (`:677-689`)
+            # grow the map with this frame's cloud (`:677-689`). A sensor-
+            # frame scan is registered into the world with the ESTIMATED
+            # pose — the one on-device [P,3]@[3,3] matmul this costs is why
+            # pose-less staging still overlaps the optimizer.
+            pts = df.points
+            if df.sensor_frame:
+                pts = pts @ jnp.asarray(pose[:3, :3].T) + jnp.asarray(pose[:3, 3])
             self.state, _ = self.add_fn(
-                self.state, df.points, df.colors, df.mask,
+                self.state, pts, df.colors, df.mask,
                 jnp.int32(frame_idx),
             )
 
@@ -371,13 +428,17 @@ class SLAMPipeline:
                 continue
             cam = self._camera_for(frame, np.asarray(frame.pose))
             out = slam_step_mod.render_map(self.state.map, cam, self.cfg)
-            # inference renders are where the WINDOWED path runs — feed its
-            # overflow counters into the same adaptation as training metrics
-            self._maybe_grow_capacity(out)
+            # Measurement must not steer the system it measures: eval NEVER
+            # adapts capacities (that would recompile mid-eval and change
+            # subsequent training). Overflow counters are REPORTED per frame
+            # so the caller can see coverage loss and adapt between runs.
             scores.append(
                 {
                     "psnr": psnr(np.asarray(out.color), frame.image),
                     "ssim": ssim(np.asarray(out.color), frame.image),
+                    "overflow_pairs": int(out.overflow_tile)
+                    + int(out.overflow_rect) + int(out.overflow_window)
+                    + int(out.overflow_big),
                 }
             )
         return scores

@@ -124,3 +124,52 @@ def test_pipeline_esikf_velocity_bootstrap():
     ate_raw = run(False)
     assert ate_boot < 0.5 * ate_raw, (ate_boot, ate_raw)
     assert ate_boot < 0.12, ate_boot
+
+
+@pytest.mark.slow
+def test_pipeline_gicp_map_tracking_beats_scan_to_scan():
+    """Scan-to-MAP tracking (`tracking.backend='gicp_map'`, the GS-ICP-SLAM
+    lineage the reference forked fast_gicp for,
+    `fast_gicp_impl.hpp:586-720`): aligning each scan against the trackable
+    Gaussians' (xyz, Σ from q,s) anchors the pose to a drift-free target, so
+    it must match or beat scan-to-scan GICP's compounding deltas on ATE."""
+    mk = lambda: list(SyntheticDataset(
+        n_frames=8, width=96, height=64, n_world=4096, pts_per_frame=1024,
+        step=0.15, clutter=0.3, seed=3))
+
+    ates = {}
+    for backend in ("gicp", "gicp_map"):
+        cfg = tiny_cfg(backend)
+        pipe = SLAMPipeline(cfg, point_budget=512, rng_seed=0)
+        res = pipe.run(mk(), post_train=0)
+        ates[backend], _ = ate_rmse(res.poses_est, res.poses_gt, align=False)
+    # the map target must help, never hurt (small slack for solver noise)
+    assert ates["gicp_map"] <= ates["gicp"] * 1.05 + 1e-4, ates
+    assert ates["gicp_map"] < 0.12, ates
+
+
+@pytest.mark.slow
+def test_pipeline_pose_free_tracking():
+    """Frames that carry ONLY a sensor-frame scan (pose=None, no world
+    points — the raw-odometry contract of
+    `python_tester/gicp_odometry2.py:126-166`) must still track and build a
+    map: poses come from GICP, scans are registered with the ESTIMATE. The
+    pipeline provably never reads frame.pose (it is None — any read would
+    throw)."""
+    ds = SyntheticDataset(n_frames=6, width=96, height=64, n_world=4096,
+                          pts_per_frame=1024, step=0.15, clutter=0.3,
+                          pose_free=True)
+    frames = list(ds)
+    assert all(f.pose is None for f in frames)
+    assert all(f.scan is not None and len(f.scan) for f in frames)
+    assert all(len(f.points) == 0 for f in frames)
+
+    cfg = tiny_cfg("gicp")
+    pipe = SLAMPipeline(cfg, point_budget=512, rng_seed=0)
+    res = pipe.run(frames, post_train=0)
+    assert np.isnan(res.poses_gt).all()  # no GT ever flowed through
+    gt = np.stack([ds.pose(i) for i in range(len(frames))])
+    ate, _ = ate_rmse(res.poses_est, gt, align=False)
+    assert np.isfinite(ate) and ate < 0.12, ate
+    # the map grew from estimate-registered scans
+    assert int(np.asarray(res.state.map.active).sum()) > 0

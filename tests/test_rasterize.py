@@ -584,9 +584,13 @@ def test_store_tier_full_coverage_matches_wide_xla():
                                   np.asarray(out_s.color))
 
     # a starved copy-ring buffer degrades coverage HONESTLY: fewer pairs,
-    # counted in overflow_big (the pipeline's cue to grow the fraction)
+    # counted in overflow_big (the pipeline's cue to grow the fraction).
+    # The fraction is of the STATIC copy-row total (the pair-sort lanes it
+    # exists to shrink) — with this test's frac=1.0 store tiers that total
+    # is ~33k mostly-padding rows, so starving the handful of live >2-wide
+    # slices needs a fraction tiny enough to cap admission at ONE row.
     out_cr = render(dataclasses.replace(cfg_store,
-                                        windowed_copy_ring_frac=0.05),
+                                        windowed_copy_ring_frac=1e-6),
                     windowed=True)
     assert int(out_cr.n_binned) < int(out_s.n_binned)
     assert int(out_cr.overflow_big) > 0
