@@ -198,13 +198,24 @@ def main():
     # (≈50 dB PSNR floor, far above any 3DGS quality bar). Coverage
     # exactness (which pairs composite, their depth order, alpha math in
     # fp32) is untouched; the library default stays "highest".
+    # Round-3 interleaved A/Bs (tools/ab_interleaved.py, paired per-round
+    # deltas): window_prefetch −0.7 ms, windowed_chunk=512 −1.9 ms,
+    # scan_impl="pad" −0.6 ms, windowed_copy_ring_frac=0.5 −1.2 ms (coverage-
+    # identical at this point), snug mid/big fracs −0.9 ms, window_blocks=15
+    # free AND zeroes the last overflow counter — tile=rect=win=big=0:
+    # EVERY alpha-gate-passing pair composites, the reference's dynamic
+    # num_rendered contract with no drops at all.
     exact_cfg = RasterizeConfig(
         max_tiles_per_gaussian=16, tile_capacity=tile_capacity, chunk=chunk,
         remat=False, windowed_big_capacity=256, feature_precision="default",
+        window_prefetch=True, windowed_chunk=512, scan_impl="pad",
+        windowed_copy_ring_frac=0.5, windowed_mid_frac=0.21,
+        windowed_big_frac=0.095, window_blocks=15,
     )
     fast_cfg = RasterizeConfig(
         max_tiles_per_gaussian=16, tile_capacity=tile_capacity, chunk=chunk,
         remat=False, windowed_big_capacity=0, feature_precision="default",
+        window_prefetch=True, windowed_chunk=512, scan_impl="pad",
     )
     fast_only = os.environ.get("SAGS_BENCH_FAST", "") == "1"
     cfg = fast_cfg if fast_only else exact_cfg

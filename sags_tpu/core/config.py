@@ -264,6 +264,13 @@ class TrackingConfig:
     # transient ~2.5x tighter than 5 (measured on the moving-start synthetic)
     esikf_update_iters: int = 10
     esikf_min_planarity: float = 0.1  # surfel plane-ness gate
+    # LIVO visual leg: after the LiDAR update, run the photometric
+    # `esikf.photo_update` against the surfel map's intensity anchors
+    # (sequential LiDAR→visual updates, the FAST-LIVO2 order). Only
+    # meaningful when the body frame IS the camera frame (lidar_axes off).
+    esikf_visual: bool = False
+    esikf_photo_iters: int = 2
+    esikf_photo_noise: float = 0.15
 
 
 @dataclass(frozen=True)

@@ -260,7 +260,7 @@ class SyntheticDataset:
     def __init__(self, n_frames=20, width=160, height=120, n_world=4096,
                  pts_per_frame=2048, seed=0, fovx=1.2, fovy=1.0,
                  max_range=8.0, step=0.4, clutter=0.0, imu_substeps=0,
-                 frame_dt=0.1, pose_free=False):
+                 frame_dt=0.1, pose_free=False, texture=0.0):
         # pose_free: yielded frames carry pose=None and NO world points —
         # only the sensor-frame scan (the raw-odometry contract; the
         # pipeline must estimate poses and register scans itself). GT stays
@@ -312,6 +312,19 @@ class SyntheticDataset:
             + rng.normal(0, 0.05, (n, 3)),
             0.02, 1.0,
         ).astype(np.float32)
+        if texture > 0.0:
+            # world-space procedural texture, per-instance frequency/phase:
+            # rendered surfaces stop being flat color patches (the blob-world
+            # shortcut a segmenter could exploit) while staying
+            # view-consistent like real object texture
+            kfreq = rng.uniform(2.0, 7.0, (16, 3))
+            phase = rng.uniform(0, 2 * np.pi, (16,))
+            inst = self.world_instance % 16
+            mod = 0.5 + 0.5 * np.sin(
+                (self.world_xyz * kfreq[inst]).sum(-1) + phase[inst])
+            gain = (1.0 - texture) + 2.0 * texture * mod
+            self.world_rgb = np.clip(
+                self.world_rgb * gain[:, None].astype(np.float32), 0.02, 1.0)
         self.world_scale = np.full((n, 3), 0.12, np.float32)
         self._rng = rng
 

@@ -37,8 +37,14 @@ def make_training_data(
     size: int = 256,
     width: int = 160,
     height: int = 120,
+    texture: float = 0.0,
 ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """(canvas image [S,S,3], box xyxy [4] canvas px, mask [S/4,S/4] f32)."""
+    """(canvas image [S,S,3], box xyxy [4] canvas px, mask [S/4,S/4] f32).
+
+    `texture` > 0 renders TEXTURED worlds (per-instance world-space
+    procedural modulation, `SyntheticDataset(texture=...)`) — instances stop
+    being flat color patches, the distribution the blob-world shortcut
+    exploits."""
     from sags_tpu.io.datasets import SyntheticDataset
 
     out = []
@@ -46,7 +52,7 @@ def make_training_data(
     for seed in seeds:
         ds = SyntheticDataset(
             n_frames=frames_per_world, width=width, height=height,
-            seed=seed, clutter=0.3,
+            seed=seed, clutter=0.3, texture=texture,
         )
         for i in range(frames_per_world):
             img, _depth = ds.render_gt(i)  # color [3,H,W], depth
@@ -179,8 +185,10 @@ def main():
         data = list(zip(z["imgs"], z["boxes"], z["masks"]))
         print(f"loaded {len(data)} cached examples from {cache}")
     else:
-        print("building synthetic box->mask data...")
+        print("building synthetic box->mask data (flat + textured worlds)...")
         data = make_training_data(seeds=(0, 1, 2, 3, 4, 5), frames_per_world=5)
+        data += make_training_data(seeds=(10, 11, 12, 13, 14, 15),
+                                   frames_per_world=5, texture=0.5)
         print(f"{len(data)} instance examples")
         if cache:
             np.savez(

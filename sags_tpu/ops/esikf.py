@@ -20,7 +20,7 @@ geometry GICP uses.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -234,6 +234,146 @@ def scan_update(
     return ScanUpdateResult(state=new_state, n_matched=n_m[-1], mean_residual=res[-1])
 
 
+def _bilinear(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Bilinear sample img[H,W] at (u,v) pixel coords (u→W, v→H)."""
+    H, W = img.shape
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 2)
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 2)
+    fu = jnp.clip(u - u0, 0.0, 1.0)
+    fv = jnp.clip(v - v0, 0.0, 1.0)
+    g = lambda dy, dx: img[v0 + dy, u0 + dx]
+    return ((1 - fv) * ((1 - fu) * g(0, 0) + fu * g(0, 1))
+            + fv * ((1 - fu) * g(1, 0) + fu * g(1, 1)))
+
+
+class PhotoUpdateResult(NamedTuple):
+    state: ESIKFState
+    n_used: jax.Array
+    mean_residual: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def photo_update(
+    state: ESIKFState,
+    points_world: jax.Array,  # [M,3] map anchor points (world frame)
+    intensity: jax.Array,  # [M] reference intensity per anchor
+    ok: jax.Array,  # [M] anchor validity
+    image: jax.Array,  # [3,H,W] current frame
+    fx: float, fy: float, cx: float, cy: float,
+    meas_noise: float = 0.15,
+    num_iters: int = 2,
+    gate: float = 0.4,
+    grad_min: float = 1e-3,
+) -> PhotoUpdateResult:
+    """Photometric ESIKF update — the "V" of LIVO (SURVEY §0.1 north star:
+    FAST-LIVO2 is LiDAR-inertial-VISUAL; its sparse-patch direct alignment
+    is reproduced here as per-anchor intensity residuals against the
+    incremental map's photometric anchors).
+
+    Residual rᵢ = I(π(Rᵀ(qᵢ − p))) − cᵢ with image-gradient chain-rule rows
+    over (dθ, dp), fused into the same information-form iterated update as
+    `scan_update` (sequential LiDAR→visual updates, the FAST-LIVO2 order).
+    The body frame is the camera frame (pinhole fx/fy/cx/cy); callers with
+    an extrinsic fold it into `points_world` / poses beforehand.
+    """
+    gray = image.mean(axis=0)  # [H,W]
+    Himg, Wimg = gray.shape
+    # central-difference gradient maps, sampled bilinearly at projections
+    gx = jnp.zeros_like(gray).at[:, 1:-1].set((gray[:, 2:] - gray[:, :-2]) * 0.5)
+    gy = jnp.zeros_like(gray).at[1:-1, :].set((gray[2:, :] - gray[:-2, :]) * 0.5)
+
+    R0, p0 = state.R, state.p
+    v0, bg0, ba0, g0 = state.v, state.bg, state.ba, state.g
+    Pinv = jnp.linalg.inv(state.P + 1e-9 * jnp.eye(_DIM))
+    inv_r = 1.0 / (meas_noise ** 2)
+
+    def iteration(carry, _):
+        R, p, v, bg, ba, g = carry
+        q_c = (points_world - p) @ R  # = Rᵀ(q − p), camera frame
+        zc = q_c[:, 2]
+        z_safe = jnp.where(zc > 1e-3, zc, 1.0)
+        u = fx * q_c[:, 0] / z_safe + cx
+        v_pix = fy * q_c[:, 1] / z_safe + cy
+        inb = (
+            ok & (zc > 0.2)
+            & (u >= 1.0) & (u <= Wimg - 2.0)
+            & (v_pix >= 1.0) & (v_pix <= Himg - 2.0)
+        )
+        I = _bilinear(gray, u, v_pix)
+        gxi = _bilinear(gx, u, v_pix)
+        gyi = _bilinear(gy, u, v_pix)
+        r = I - intensity
+        # dr/dq_c = gᵀ · du/dq_c (pinhole Jacobian)
+        gvec = (
+            gxi[:, None] * jnp.stack(
+                [fx / z_safe, jnp.zeros_like(zc), -fx * q_c[:, 0] / z_safe**2], -1)
+            + gyi[:, None] * jnp.stack(
+                [jnp.zeros_like(zc), fy / z_safe, -fy * q_c[:, 1] / z_safe**2], -1)
+        )  # [M,3]
+        # textureless or gated points contribute nothing
+        w = (
+            inb & (jnp.abs(r) < gate)
+            & (jnp.sum(gvec * gvec, -1) > grad_min ** 2)
+        ).astype(jnp.float32)
+        # q_c = exp(−δθ) Rᵀ(q−p) ⇒ dq_c/dδθ = [q_c]× ⇒ dr/dδθ = g×q_c rows;
+        # dq_c/dδp = −Rᵀ ⇒ dr/dδp = −R g
+        Hrot = jnp.cross(gvec, q_c)
+        Hp = -(gvec @ R.T)
+        Hm = jnp.concatenate(
+            [Hrot, Hp, jnp.zeros((points_world.shape[0], _DIM - 6))], axis=-1)
+        Hw = Hm * (w * inv_r)[:, None]
+        A = Pinv + Hm.T @ Hw
+        from sags_tpu.core.transforms import so3_log
+
+        dtheta = so3_log(R0.T @ R)
+        dx_prior = jnp.concatenate(
+            [dtheta, p - p0, v - v0, bg - bg0, ba - ba0, g - g0])
+        rhs = Hw.T @ r + Pinv @ dx_prior
+        dx = jnp.linalg.solve(A, rhs)
+        R_new = R @ so3_exp(-dx[0:3])
+        p_new = p - dx[3:6]
+        v_new = v - dx[6:9]
+        bg_new = bg - dx[9:12]
+        ba_new = ba - dx[12:15]
+        g_new = g - dx[15:18]
+        return (R_new, p_new, v_new, bg_new, ba_new, g_new), (
+            jnp.sum(w), jnp.sum(jnp.abs(r) * w) / jnp.maximum(jnp.sum(w), 1.0))
+
+    (R_f, p_f, v_f, bg_f, ba_f, g_f), (n_u, res) = jax.lax.scan(
+        iteration, (R0, p0, v0, bg0, ba0, g0), None, length=num_iters
+    )
+
+    # covariance update with the final linearization
+    q_c = (points_world - p_f) @ R_f
+    zc = q_c[:, 2]
+    z_safe = jnp.where(zc > 1e-3, zc, 1.0)
+    u = fx * q_c[:, 0] / z_safe + cx
+    v_pix = fy * q_c[:, 1] / z_safe + cy
+    inb = (ok & (zc > 0.2) & (u >= 1.0) & (u <= Wimg - 2.0)
+           & (v_pix >= 1.0) & (v_pix <= Himg - 2.0))
+    gxi = _bilinear(gx, u, v_pix)
+    gyi = _bilinear(gy, u, v_pix)
+    r = _bilinear(gray, u, v_pix) - intensity
+    gvec = (
+        gxi[:, None] * jnp.stack(
+            [fx / z_safe, jnp.zeros_like(zc), -fx * q_c[:, 0] / z_safe**2], -1)
+        + gyi[:, None] * jnp.stack(
+            [jnp.zeros_like(zc), fy / z_safe, -fy * q_c[:, 1] / z_safe**2], -1)
+    )
+    w = (inb & (jnp.abs(r) < gate)
+         & (jnp.sum(gvec * gvec, -1) > grad_min ** 2)).astype(jnp.float32)
+    Hm = jnp.concatenate(
+        [jnp.cross(gvec, q_c), -(gvec @ R_f.T),
+         jnp.zeros((points_world.shape[0], _DIM - 6))], axis=-1)
+    Hw = Hm * (w * inv_r)[:, None]
+    P_new = jnp.linalg.inv(Pinv + Hm.T @ Hw)
+
+    new_state = state._replace(
+        R=R_f, p=p_f, v=v_f, bg=bg_f, ba=ba_f, g=g_f, P=P_new)
+    return PhotoUpdateResult(state=new_state, n_used=n_u[-1],
+                             mean_residual=res[-1])
+
+
 # ---------------------------------------------------------------------------
 # Incremental surfel map — the filter's world model.
 #
@@ -255,6 +395,7 @@ class SurfelMap(NamedTuple):
     n: jax.Array  # [V] points accumulated per voxel
     sum_p: jax.Array  # [V,3] Σ(p − voxel_center) — anchored first moment
     sum_pp: jax.Array  # [V,3,3] Σ(p − voxel_center)(p − voxel_center)ᵀ
+    sum_i: jax.Array  # [V] Σ intensity — photometric anchor (mean = sum_i/n)
     overflow: jax.Array  # voxels dropped by capacity
     mins: jax.Array  # [3] fixed grid origin (voxel coords)
     dims: jax.Array  # [3] fixed grid dims
@@ -287,6 +428,7 @@ def surfel_map_init(
         n=jnp.zeros((capacity,), jnp.float32),
         sum_p=jnp.zeros((capacity, 3), jnp.float32),
         sum_pp=jnp.zeros((capacity, 3, 3), jnp.float32),
+        sum_i=jnp.zeros((capacity,), jnp.float32),
         overflow=jnp.int32(0),
         mins=mins,
         dims=dims,
@@ -305,9 +447,13 @@ def _surfel_encode(sm: SurfelMap, coords: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def surfel_map_update(sm: SurfelMap, points: jax.Array, mask: jax.Array) -> SurfelMap:
+def surfel_map_update(
+    sm: SurfelMap, points: jax.Array, mask: jax.Array,
+    intensity: Optional[jax.Array] = None,
+) -> SurfelMap:
     """Fold a world-frame scan into the map: one sort + segment-reduce over
-    (existing voxels ++ new points)."""
+    (existing voxels ++ new points). `intensity` [N] (optional) accumulates
+    the photometric anchor the LIVO visual update measures against."""
     V = sm.keys.shape[0]
     coords = _voxel_coords(points, sm.resolution)
     keys_new = jnp.where(mask, _surfel_encode(sm, coords), _SURFEL_KEY_MAX)
@@ -315,6 +461,8 @@ def surfel_map_update(sm: SurfelMap, points: jax.Array, mask: jax.Array) -> Surf
     # out-of-extent points are dropped — count them (like every other
     # capacity bound, drops must be surfaced, not silent)
     dropped = jnp.sum(mask & ~valid)
+    if intensity is None:
+        intensity = jnp.zeros(points.shape[0], jnp.float32)
 
     # anchor each point at its voxel center: the fixed per-voxel anchor makes
     # the moments combinable across updates while keeping them O(resolution)
@@ -326,6 +474,7 @@ def surfel_map_update(sm: SurfelMap, points: jax.Array, mask: jax.Array) -> Surf
     spp_all = jnp.concatenate(
         [sm.sum_pp, jnp.where(valid[:, None, None], qq, 0.0)]
     )
+    si_all = jnp.concatenate([sm.sum_i, jnp.where(valid, intensity, 0.0)])
 
     order = jnp.argsort(keys_all)
     ks = keys_all[order]
@@ -346,9 +495,10 @@ def surfel_map_update(sm: SurfelMap, points: jax.Array, mask: jax.Array) -> Surf
     n_buf = add(jnp.zeros((V + 1,), jnp.float32), n_all)
     sp_buf = add(jnp.zeros((V + 1, 3), jnp.float32), sp_all)
     spp_buf = add(jnp.zeros((V + 1, 3, 3), jnp.float32), spp_all)
+    si_buf = add(jnp.zeros((V + 1,), jnp.float32), si_all)
     return sm._replace(
         keys=key_buf[:V], n=n_buf[:V], sum_p=sp_buf[:V], sum_pp=spp_buf[:V],
-        overflow=overflow,
+        sum_i=si_buf[:V], overflow=overflow,
     )
 
 
@@ -382,3 +532,15 @@ def surfel_map_voxels(sm: SurfelMap) -> VoxelMap:
         dims=sm.dims,
         resolution=sm.resolution,
     )
+
+
+@jax.jit
+def surfel_map_anchors(sm: SurfelMap):
+    """Photometric anchors for `photo_update`: (world points, mean intensity,
+    validity). Anchors are the voxel mean positions; intensity is the running
+    per-voxel mean — the sparse direct-alignment targets FAST-LIVO2 keeps
+    per visual submap patch."""
+    vm = surfel_map_voxels(sm)
+    live = sm.keys < _SURFEL_KEY_MAX
+    n = jnp.maximum(sm.n, 1.0)
+    return vm.means, sm.sum_i / n, live & (sm.n >= 2.0)

@@ -131,7 +131,14 @@ class SLAMPipeline:
         scan_p = pad(scan.astype(np.float32))
 
         if mode == "esikf":
-            return self._track_esikf(scan_p, msk, frame.imu, frame.timestamp)
+            # per-point intensity rides along when the frame carries colors
+            # aligned with the scan sample (synthetic + depth datasets do)
+            intens = None
+            if (frame.colors is not None and len(frame.colors) == len(scan)):
+                iv = np.asarray(frame.colors, np.float32).mean(-1)
+                intens = np.pad(iv, (0, max(0, budget - len(iv))))[:budget]
+            return self._track_esikf(scan_p, msk, frame.imu, frame.timestamp,
+                                     intens=intens, image=frame.image)
 
         if mode == "gicp_map":
             return self._track_gicp_map(scan_p, msk)
@@ -185,6 +192,8 @@ class SLAMPipeline:
         self, scan_p: np.ndarray, msk: np.ndarray,
         imu: Optional[np.ndarray] = None,
         timestamp: Optional[float] = None,
+        intens: Optional[np.ndarray] = None,
+        image: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """ESIKF against an INCREMENTAL surfel voxel map: IMU mean/covariance
         propagation (when the frame carries samples) or constant-position P
@@ -244,12 +253,32 @@ class SLAMPipeline:
                 min_planarity=self.cfg.tracking.esikf_min_planarity,
             )
             self._esikf = out.state
+            tcfg = self.cfg.tracking
+            if (tcfg.esikf_visual and image is not None
+                    and not self.cfg.lidar_axes):
+                # LIVO visual leg: photometric update against the map's
+                # intensity anchors (sequential LiDAR→visual, FAST-LIVO2
+                # order). Body frame == camera frame here (lidar_axes off).
+                apts, aint, aok = esikf.surfel_map_anchors(self._track_map)
+                H, W = image.shape[1:]
+                cam_cfg = self.cfg.camera
+                pout = esikf.photo_update(
+                    self._esikf, apts, aint, aok, jnp.asarray(image),
+                    cam_cfg.fx * W / cam_cfg.width,
+                    cam_cfg.fy * H / cam_cfg.height,
+                    cam_cfg.cx * W / cam_cfg.width,
+                    cam_cfg.cy * H / cam_cfg.height,
+                    meas_noise=tcfg.esikf_photo_noise,
+                    num_iters=tcfg.esikf_photo_iters,
+                )
+                self._esikf = pout.state
         # fold this scan (at the estimated pose) into the surfel map
         R = np.asarray(self._esikf.R)
         p = np.asarray(self._esikf.p)
         world = scan_p @ R.T + p
         self._track_map = esikf.surfel_map_update(
-            self._track_map, jnp.asarray(world), jnp.asarray(msk)
+            self._track_map, jnp.asarray(world), jnp.asarray(msk),
+            intensity=None if intens is None else jnp.asarray(intens),
         )
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sags_tpu.core.transforms import se3_matrix, so3_exp
 from sags_tpu.ops import esikf, gicp
@@ -221,3 +222,83 @@ def test_surfel_covariance_conditioned_far_from_origin():
     # normal-direction variance ~1e-6 (+1e-6 regularizer); in-plane ~6e-3.
     assert float(w[:, 0].max()) < 5e-5, w[:, 0]
     assert float(w[:, 2].min()) > 1e-3
+
+
+def test_photo_update_reduces_pose_error():
+    """The LIVO visual leg (`esikf.photo_update`): anchors with known
+    intensities sampled from a smooth image under the TRUE pose must pull a
+    perturbed filter state back toward truth (SURVEY §0.1: FAST-LIVO2 is
+    LiDAR-inertial-VISUAL; this is the sparse direct-alignment residual)."""
+    rng = np.random.default_rng(0)
+    W, H = 160, 120
+    fx = fy = 120.0
+    cx, cy = W / 2.0, H / 2.0
+    # smooth, textured image: intensity varies with both axes
+    u = np.arange(W)[None, :] / W
+    v = np.arange(H)[:, None] / H
+    gray = (0.5 + 0.3 * np.sin(6.28 * 2 * u) * np.cos(6.28 * 1.5 * v)
+            + 0.2 * u * v).astype(np.float32)
+    image = np.repeat(gray[None], 3, axis=0)
+
+    # anchors: a z=2..4 cloud, intensity = image sampled at TRUE projection
+    M = 400
+    pts_c = np.stack([
+        rng.uniform(-0.8, 0.8, M), rng.uniform(-0.6, 0.6, M),
+        rng.uniform(2.0, 4.0, M)], 1).astype(np.float32)
+    uu = fx * pts_c[:, 0] / pts_c[:, 2] + cx
+    vv = fy * pts_c[:, 1] / pts_c[:, 2] + cy
+    inb = (uu > 2) & (uu < W - 3) & (vv > 2) & (vv < H - 3)
+    ui = np.clip(uu.astype(int), 0, W - 1)
+    vi = np.clip(vv.astype(int), 0, H - 1)
+    intens = gray[vi, ui].astype(np.float32)
+
+    # truth pose = identity; perturb the state
+    st = esikf.init_state(P0_pos=1e-2, P0_rot=1e-3)
+    dp = np.array([0.03, -0.02, 0.01], np.float32)
+    st = st._replace(p=jnp.asarray(dp))
+    err0 = float(np.linalg.norm(np.asarray(st.p)))
+    out = esikf.photo_update(
+        st, jnp.asarray(pts_c), jnp.asarray(intens), jnp.asarray(inb),
+        jnp.asarray(image), fx, fy, cx, cy, num_iters=4, meas_noise=0.05)
+    err1 = float(np.linalg.norm(np.asarray(out.state.p)))
+    assert int(out.n_used) > 100, int(out.n_used)
+    assert err1 < 0.5 * err0, (err0, err1)
+
+
+@pytest.mark.slow
+def test_liv_beats_li_on_degraded_lidar():
+    """With degraded LiDAR (heavily subsampled scans), the LiDAR-inertial-
+    VISUAL filter must beat LiDAR-inertial on ATE — the photometric leg is
+    doing real measurement work (FAST-LIVO2's reason to exist)."""
+    from sags_tpu.core.config import (GICPConfig, KeyframeConfig, MapConfig,
+                                      RasterizeConfig, SemanticsConfig,
+                                      SLAMConfig, TrackingConfig)
+    from sags_tpu.io.datasets import SyntheticDataset
+    from sags_tpu.slam.pipeline import SLAMPipeline
+    from sags_tpu.utils.traj import ate_rmse
+
+    def run(visual):
+        cfg = SLAMConfig(
+            raster=RasterizeConfig(max_tiles_per_gaussian=16,
+                                   tile_capacity=128, chunk=32),
+            map=MapConfig(initial_capacity=16384, initial_scale=0.08),
+            semantics=SemanticsConfig(cls3d_sample=32, num_classes=24),
+            keyframes=KeyframeConfig(keyframe_freq=100),  # no training: ATE only
+            tracking=TrackingConfig(backend="esikf", max_points=512,
+                                    esikf_visual=visual,
+                                    esikf_update_iters=6),
+            gicp=GICPConfig(max_iterations=24, knn_max_distance=2.0),
+            post_train_iters=0,
+        )
+        ds = SyntheticDataset(n_frames=8, width=160, height=120, n_world=8192,
+                              pts_per_frame=160, step=0.12, clutter=0.35,
+                              seed=5)
+        pipe = SLAMPipeline(cfg, point_budget=512, rng_seed=0)
+        res = pipe.run(list(ds), post_train=0)
+        ate, _ = ate_rmse(res.poses_est, res.poses_gt, align=False)
+        return ate
+
+    ate_li = run(False)
+    ate_liv = run(True)
+    assert np.isfinite(ate_liv)
+    assert ate_liv < ate_li, (ate_li, ate_liv)

@@ -128,3 +128,66 @@ def test_trained_sam_beats_random_on_heldout():
     iou_all = float(np.mean(per))
     assert iou_big > 0.5, f"large-instance IoU {iou_big:.3f}"
     assert iou_all > iou_rand + 0.2, (iou_all, iou_rand)
+
+
+def test_geometric_masks_iou_textured():
+    """Textured worlds (per-instance world-space modulation): the geometric
+    generator must hold its IoU floor when instances are NOT flat color
+    patches — the distribution round-2's blob-only evidence skipped."""
+    ds = SyntheticDataset(n_frames=3, width=160, height=120, n_world=8192,
+                          pts_per_frame=1024, clutter=0.4, seed=2,
+                          texture=0.5)
+    gen = GeometricMaskGenerator(n_clusters=12, work_size=120, seed=0)
+    scores = []
+    for i, frame in enumerate(ds):
+        gt = ds.gt_objects(i)
+        pred = gen.generate_objects(frame.image, frame.depth)
+        scores.append(_best_match_iou(gt, pred))
+    mean_iou = float(np.mean(scores))
+    assert mean_iou > 0.45, f"textured geometric IoU {mean_iou:.3f}"
+
+
+def test_trained_sam_beats_random_on_textured_heldout():
+    """The shipped SAM weights must also segment TEXTURED held-out worlds
+    (trained on a flat+textured mix, models/sam_train.py): instance
+    appearance varies inside each object, so flat-color matching can't
+    solve it."""
+    import os
+
+    from sags_tpu.models.sam import SAM, PromptEncoder
+    from sags_tpu.models.sam_train import (
+        WEIGHTS_PATH, load_pretrained, make_training_data,
+    )
+
+    if not os.path.exists(WEIGHTS_PATH):
+        pytest.skip("no shipped SAM weights")
+
+    data = make_training_data(seeds=(8,), frames_per_world=2, texture=0.5)
+    assert len(data) >= 4
+    imgs = jnp.asarray(np.stack([d[0] for d in data]))
+    boxes = jnp.asarray(np.stack([d[1] for d in data]))
+    gts = np.stack([d[2] for d in data]) > 0.5
+
+    def iou_per_example(sam):
+        emb = sam.encoder.apply(sam.params.encoder, imgs)
+        sparse = sam.prompt_encoder.apply(sam.params.prompt, boxes)
+        pe = sam.prompt_encoder.apply(
+            sam.params.prompt, method=PromptEncoder.get_dense_pe
+        )
+        logits = sam.mask_decoder.apply(sam.params.decoder, emb, pe, sparse)[:, 0]
+        pred = np.asarray(logits) > 0.0
+        inter = (pred & gts).sum((1, 2))
+        union = np.maximum((pred | gts).sum((1, 2)), 1)
+        return inter / union
+
+    areas = gts.sum((1, 2))
+    big = areas >= 100
+    assert big.sum() >= 3
+
+    iou_rand = float(np.mean(iou_per_example(SAM())))
+    trained = SAM()
+    assert load_pretrained(trained)
+    per = iou_per_example(trained)
+    iou_big = float(np.mean(per[big]))
+    assert iou_big > 0.5, f"textured large-instance IoU {iou_big:.3f}"
+    assert float(np.mean(per)) > iou_rand + 0.2
