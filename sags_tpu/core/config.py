@@ -135,6 +135,12 @@ class RasterizeConfig:
     # edge slices (≤2 wide) that the base tier already covers, so ~0.5 is
     # typically lossless at SLAM operating points.
     windowed_copy_ring_frac: float = 1.0
+    # Expansion row budget: only the first frac·P_all anchor-sorted rows
+    # (live rows sort before culled ones) enter pair expansion and the tier
+    # compactions — a static trim of every expansion lane. SLAM scenes cull
+    # ~35% of rows, so ~0.75 is typically lossless; live rows beyond the
+    # budget are dropped and counted in overflow_big (pipeline-adapted).
+    windowed_expand_frac: float = 1.0
     # Base-tier split: 0.0 gives EVERY row the 2×2 offset window (4 lanes
     # each). >0 gives every row only its rect-min tile (1 lane) and routes
     # the (1,0),(0,1),(1,1) offsets through a compacted tier of the rows

@@ -864,7 +864,17 @@ def _prepare_windowed(
     # windowed_big_frac·P buffer. The average Gaussian touches 1-6 tiles,
     # so uniform MT-way expansion wastes most of the sort. Buffer
     # saturation is counted into overflow_big and pipeline-adapted.
-    ex = jax.lax.stop_gradient(G_s)
+    # Expansion row budget: valid rows sort before the anchor=NT invalids,
+    # so the expansion only needs the live prefix. windowed_expand_frac < 1
+    # statically trims every expansion lane (base offsets AND tier
+    # compaction sorts) to PE = frac·P_all rows — on SLAM scenes ~35% of
+    # rows are frustum/alpha-culled, so ~0.75 is lossless. Valid rows past
+    # PE (a scene with more live Gaussians than budgeted) are dropped and
+    # counted into overflow_big like every other capacity bound.
+    ef = float(getattr(cfg, "windowed_expand_frac", 1.0))
+    PE = P_all if ef >= 1.0 else min(-(-int(P_all * ef) // 128) * 128, P_all)
+    ex = jax.lax.stop_gradient(G_s[:PE])
+    iota = iota[:PE]
     rminx = ex[:, COL_RMIN_X].astype(jnp.int32)
     rminy = ex[:, COL_RMIN_Y].astype(jnp.int32)
     rectw = ex[:, COL_RECT_W].astype(jnp.int32)
@@ -872,6 +882,14 @@ def _prepare_windowed(
     dq_s = ex[:, COL_DQ].astype(jnp.int32)
     valid_s = iota < rowstart[NT]
     TT = float(cfg.tile)
+    overflow_trim = jnp.int32(0)
+    if PE < P_all:
+        # honest accounting for live rows beyond the expansion budget
+        exT = jax.lax.stop_gradient(G_s[PE:])
+        rwT = exT[:, COL_RECT_W].astype(jnp.int32)
+        rhT = exT[:, COL_RECT_H].astype(jnp.int32)
+        vT = (jnp.arange(PE, P_all, dtype=jnp.int32) < rowstart[NT])
+        overflow_trim = jnp.sum(jnp.where(vT, rwT * rhT, 0))
 
     def tier_keys(offs, exb, rx, ry, rw, rh, dq, vmask):
         mx, my = exb[:, 0], exb[:, 1]
@@ -893,7 +911,7 @@ def _prepare_windowed(
     # expand through their own compacted tier below (the mid/big buffers
     # stay sized for ordinary rows).
     is_copy = (ex[:, COL_STORE] > 0.0) if use_store else jnp.zeros(
-        (P_all,), bool)
+        (PE,), bool)
     keys, gids = [], []
 
     # Larger tiers: a MID tier (rect ≤ 3, the 5 extra offsets of the 3×3
@@ -901,11 +919,11 @@ def _prepare_windowed(
     # compacted into its own buffer — sizing the 12-offset expansion by the
     # (few) genuinely large Gaussians instead of everything beyond 2×2
     # shrinks the pair sort ~30% on SLAM scenes.
-    overflow_big = overflow_big0
+    overflow_big = overflow_big0 + overflow_trim
 
     def _tier(sel_mask, offs, PBUF, cover_cap, base_cap=2, row_cap=None):
         nonlocal overflow_big, keys, gids
-        PBUF = min(PBUF, P_all)  # a tiny scene must not out-size its buffer
+        PBUF = min(PBUF, PE)  # a tiny scene must not out-size its buffer
         # row_cap: exact admission limit (≤ PBUF). The buffer SHAPE stays
         # 128-aligned for the TPU lane layout, but a fractional knob must
         # starve at its stated fraction, not at the next 128-block — rows

@@ -663,3 +663,47 @@ def test_mark_visible_frustum_cull():
     pts_world = pts_view @ R.T + t  # R: cam->world, t: camera center
     vis = np.asarray(rz.mark_visible(jnp.asarray(pts_world), cam))
     np.testing.assert_array_equal(vis, z_view > 0.2)
+
+
+def test_windowed_expand_frac_lossless_and_counted():
+    """`windowed_expand_frac`: a loose budget must be pair-for-pair identical
+    to the full expansion (live rows sort before culled rows, so trimming
+    dead rows changes nothing); a budget below the live-row count must drop
+    pairs HONESTLY into overflow_big."""
+    rng = np.random.default_rng(4)
+    n, W, H = 2048, 96, 64
+    z = rng.uniform(2.0, 10.0, (n, 1))
+    xy = rng.uniform(-0.9, 0.9, (n, 2)) * z  # a chunk falls outside the frustum
+    means = np.concatenate([xy, z], 1).astype(np.float32)
+    scales = (rng.uniform(0.005, 0.02, (n, 3)) * z).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, -1, keepdims=True)
+    opac = rng.uniform(0.3, 0.9, (n,)).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    objs = rng.normal(size=(n, 16)).astype(np.float32)
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                      W, H, 1.2, 0.9)
+    cfg = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=256,
+                          chunk=16, pallas_interpret=True, window_blocks=24,
+                          windowed_mid_frac=1.0, windowed_big_frac=1.0)
+    A = tuple(jnp.asarray(v) for v in (means, opac, scales, quats, colors, objs))
+    render = lambda c: jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, c, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+
+    out_full = render(cfg)
+    n_live = int(np.asarray(
+        rz.preprocess(*A[:4], cam, cfg, colors=A[4]).valid).sum())
+    # loose budget (>= live rows): identical pair set, bit-identical image
+    loose = (n_live + 255) // 128 * 128 / n
+    out_loose = render(dataclasses.replace(cfg, windowed_expand_frac=loose))
+    assert int(out_loose.n_binned) == int(out_full.n_binned)
+    assert int(out_loose.overflow_big) == int(out_full.overflow_big)
+    np.testing.assert_array_equal(np.asarray(out_loose.color),
+                                  np.asarray(out_full.color))
+    # starved budget: fewer pairs, counted
+    tight = max(128, (n_live // 2) // 128 * 128) / n
+    out_tight = render(dataclasses.replace(cfg, windowed_expand_frac=tight))
+    assert int(out_tight.n_binned) < int(out_full.n_binned)
+    assert int(out_tight.overflow_big) > 0
+    assert np.isfinite(np.asarray(out_tight.color)).all()
