@@ -247,6 +247,58 @@ def resolution_policy(width: int, height: int, resolution: int = -1,
     return int(width / resolution), int(height / resolution)
 
 
+_GT_CFG = None
+
+
+def _gt_cfg():
+    global _GT_CFG
+    if _GT_CFG is None:
+        from sags_tpu.core.config import RasterizeConfig
+
+        _GT_CFG = RasterizeConfig(max_tiles_per_gaussian=16,
+                                  tile_capacity=512, chunk=64)
+    return _GT_CFG
+
+
+def _jit_render_color(xyz, opac, scales, quats, colors, cam):
+    """Jitted GT color render, cached per (n, W, H) across ALL dataset
+    instances — eager rasterize dispatch through the device tunnel costs
+    minutes per world; one compile amortizes over every frame and seed."""
+    import functools
+
+    import jax
+
+    global _JIT_COLOR
+    if "_JIT_COLOR" not in globals():
+        from sags_tpu.ops import rasterize as rz
+
+        @jax.jit
+        def f(xyz, opac, scales, quats, colors, cam):
+            out = rz.rasterize(xyz, opac, scales, quats, cam, _gt_cfg(),
+                               colors=colors)
+            return out.color, out.depth
+
+        _JIT_COLOR = f
+    return _JIT_COLOR(xyz, opac, scales, quats, colors, cam)
+
+
+def _jit_render_objects(xyz, opac, scales, quats, colors, objf, cam):
+    import jax
+
+    global _JIT_OBJ
+    if "_JIT_OBJ" not in globals():
+        from sags_tpu.ops import rasterize as rz
+
+        @jax.jit
+        def f(xyz, opac, scales, quats, colors, objf, cam):
+            out = rz.rasterize(xyz, opac, scales, quats, cam, _gt_cfg(),
+                               colors=colors, obj_features=objf)
+            return out.objects, out.alpha
+
+        _JIT_OBJ = f
+    return _JIT_OBJ(xyz, opac, scales, quats, colors, objf, cam)
+
+
 class SyntheticDataset:
     """Procedural LIVO-style sequence with exact ground truth.
 
@@ -352,18 +404,14 @@ class SyntheticDataset:
     def render_gt(self, i: int):
         import jax.numpy as jnp
 
-        from sags_tpu.core.config import RasterizeConfig
-        from sags_tpu.ops import rasterize as rz
-
-        cfg = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=512, chunk=64)
         n = len(self.world_xyz)
         quats = np.tile(np.array([[0, 0, 0, 1]], np.float32), (n, 1))
-        out = rz.rasterize(
+        color, depth = _jit_render_color(
             jnp.asarray(self.world_xyz), jnp.full((n,), 0.8),
             jnp.asarray(self.world_scale), jnp.asarray(quats),
-            self.camera(i), cfg, colors=jnp.asarray(self.world_rgb),
+            jnp.asarray(self.world_rgb), self.camera(i),
         )
-        return np.asarray(out.color), np.asarray(out.depth[0])
+        return np.asarray(color), np.asarray(depth[0])
 
     def gt_objects(self, i: int) -> np.ndarray:
         """Ground-truth instance mask [H,W] int32 (0 = background): render
@@ -371,23 +419,17 @@ class SyntheticDataset:
         channels (the exact semantics the semantic rasterizer path uses)."""
         import jax.numpy as jnp
 
-        from sags_tpu.core.config import RasterizeConfig
-        from sags_tpu.ops import rasterize as rz
-
-        cfg = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=512,
-                              chunk=64)
         n = len(self.world_xyz)
         quats = np.tile(np.array([[0, 0, 0, 1]], np.float32), (n, 1))
         onehot = np.zeros((n, 16), np.float32)
         onehot[np.arange(n), self.world_instance % 16] = 1.0
-        out = rz.rasterize(
+        obj, alpha = _jit_render_objects(
             jnp.asarray(self.world_xyz), jnp.full((n,), 0.8),
             jnp.asarray(self.world_scale), jnp.asarray(quats),
-            self.camera(i), cfg, colors=jnp.asarray(self.world_rgb),
-            obj_features=jnp.asarray(onehot),
+            jnp.asarray(self.world_rgb), jnp.asarray(onehot), self.camera(i),
         )
-        obj = np.asarray(out.objects)  # [16,H,W] alpha-weighted densities
-        alpha = np.asarray(out.alpha[0])
+        obj = np.asarray(obj)  # [16,H,W] alpha-weighted densities
+        alpha = np.asarray(alpha[0])
         labels = np.argmax(obj, axis=0).astype(np.int32)
         return np.where(alpha > 0.5, labels, 0)
 

@@ -124,26 +124,34 @@ def train_sam(
     params = sam.params
     opt_state = tx.init(params)
 
+    # The whole dataset lives in HBM (images as uint8, 4x smaller upload);
+    # batches are device-side gathers. Host-slicing numpy images per step
+    # costs ~12 MB of host->device transfer per batch — through a tunneled
+    # device that was ~1 s/step, 50x the actual compute.
+    imgs_all = jnp.asarray(
+        np.clip(np.stack([d[0] for d in data]) * 255.0, 0, 255).astype(np.uint8))
+    boxes_all = jnp.asarray(np.stack([d[1] for d in data]))
+    masks_all = jnp.asarray(np.stack([d[2] for d in data]))
+
     @jax.jit
-    def step(params, opt_state, imgs, boxes, masks):
+    def step(params, opt_state, idx, bjit):
+        imgs = jnp.take(imgs_all, idx, axis=0).astype(jnp.float32) / 255.0
+        boxes = jnp.take(boxes_all, idx, axis=0) + bjit
+        masks = jnp.take(masks_all, idx, axis=0)
         loss, grads = jax.value_and_grad(_loss_fn)(params, sam, imgs, boxes, masks)
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
     rng = np.random.default_rng(seed)
-    imgs_all = np.stack([d[0] for d in data])
-    boxes_all = np.stack([d[1] for d in data])
-    masks_all = np.stack([d[2] for d in data])
     n = len(data)
     for it in range(steps):
         idx = rng.integers(0, n, batch)
-        b = boxes_all[idx] + rng.normal(0, jitter, (batch, 4)).astype(np.float32)
+        bjit = rng.normal(0, jitter, (batch, 4)).astype(np.float32)
         params, opt_state, loss = step(
-            params, opt_state, jnp.asarray(imgs_all[idx]), jnp.asarray(b),
-            jnp.asarray(masks_all[idx]),
+            params, opt_state, jnp.asarray(idx), jnp.asarray(bjit),
         )
         if log_every and it % log_every == 0:
-            print(f"step {it}: loss {float(loss):.4f}")
+            print(f"step {it}: loss {float(loss):.4f}", flush=True)
     sam.params = params
     return sam
 
@@ -201,7 +209,11 @@ def main():
     if "--data-only" in sys.argv:
         return
     sam = SAM()
-    train_sam(sam, data, steps=1200)
+    steps = 800
+    for a in sys.argv[1:]:
+        if a.startswith("--steps="):
+            steps = int(a.split("=", 1)[1])
+    train_sam(sam, data, steps=steps)
     save_fp16(sam)
     print(f"saved {WEIGHTS_PATH}")
 
