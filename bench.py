@@ -150,6 +150,28 @@ def bench_pipeline():
             "slam_frame_ms_median": round(dt * 1000, 1)}
 
 
+def bench_pipeline_bounded(budget_s: int = 300):
+    """Run bench_pipeline in a subprocess with a hard wall-clock bound so a
+    slow tunnel/compile phase can NEVER sink the headline JSON the driver
+    records (the pipeline rate is supplementary)."""
+    import subprocess
+
+    code = ("import json; from bench import bench_pipeline; "
+            "print('PIPE_JSON ' + json.dumps(bench_pipeline()))")
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=budget_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in p.stdout.splitlines():
+        if line.startswith("PIPE_JSON "):
+            return json.loads(line[len("PIPE_JSON "):])
+    return None
+
+
 def main():
     mode = os.environ.get("SAGS_BENCH_MODE", "both")
     if mode == "train":
@@ -205,17 +227,24 @@ def main():
     # free AND zeroes the last overflow counter — tile=rect=win=big=0:
     # EVERY alpha-gate-passing pair composites, the reference's dynamic
     # num_rendered contract with no drops at all.
+    # windowed_expand_frac=0.6 is the biggest single lever (−3.4 ms, 5/5):
+    # the slice store's static copy buffers make P_all ≈ 370k rows of which
+    # only ~191k are live — the expansion trim drops the dead tail from
+    # every pair-sort lane. 0.6 is counter-verified ZERO-drop at this point
+    # (0.55 loses 926 pairs); the fast config's P_all is just P, so its
+    # lossless budget is 0.75.
     exact_cfg = RasterizeConfig(
         max_tiles_per_gaussian=16, tile_capacity=tile_capacity, chunk=chunk,
         remat=False, windowed_big_capacity=256, feature_precision="default",
         window_prefetch=True, windowed_chunk=512, scan_impl="pad",
         windowed_copy_ring_frac=0.5, windowed_mid_frac=0.21,
-        windowed_big_frac=0.095, window_blocks=15,
+        windowed_big_frac=0.095, window_blocks=15, windowed_expand_frac=0.6,
     )
     fast_cfg = RasterizeConfig(
         max_tiles_per_gaussian=16, tile_capacity=tile_capacity, chunk=chunk,
         remat=False, windowed_big_capacity=0, feature_precision="default",
         window_prefetch=True, windowed_chunk=512, scan_impl="pad",
+        windowed_expand_frac=0.75,
     )
     fast_only = os.environ.get("SAGS_BENCH_FAST", "") == "1"
     cfg = fast_cfg if fast_only else exact_cfg
@@ -299,11 +328,16 @@ def main():
             print(f"# train bench failed: {e}", file=sys.stderr)
         if os.environ.get("SAGS_BENCH_PIPELINE", "1") == "1":
             try:
-                pipe = bench_pipeline()
-                result.update(pipe)
-                print(f"# pipeline steady-state: {pipe['slam_frame_hz']} Hz "
-                      f"({pipe['slam_frame_ms_median']} ms/frame median, "
-                      f"full track+grow+train loop)", file=sys.stderr)
+                pipe = bench_pipeline_bounded(
+                    int(os.environ.get("SAGS_BENCH_PIPE_BUDGET", 300)))
+                if pipe:
+                    result.update(pipe)
+                    print(f"# pipeline steady-state: {pipe['slam_frame_hz']} Hz "
+                          f"({pipe['slam_frame_ms_median']} ms/frame median, "
+                          f"full track+grow+train loop)", file=sys.stderr)
+                else:
+                    print("# pipeline bench skipped (wall-clock budget)",
+                          file=sys.stderr)
             except Exception as e:
                 print(f"# pipeline bench failed: {e}", file=sys.stderr)
     print(json.dumps(result))
