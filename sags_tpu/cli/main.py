@@ -210,14 +210,16 @@ def cmd_run_gicp(args):
     reg = (FastVGICP if args.method == "vgicp" else FastGICP)()
     poses = [np.eye(4)]
     times = []
-    # KITTI scans are already sensor-frame; other datasets store world-frame
-    # points and the raw scan is reconstructed through the GT pose.
+    # Frames carrying a raw `scan` feed it straight to the tracker; legacy
+    # world-frame frames reconstruct the scan through the GT pose.
     raw_sensor = args.dataset == "kitti"
     has_gt = not raw_sensor or bool(getattr(args, "poses", ""))
 
     def sensor_frame(f):
-        pts = np.asarray(f.points)
-        if not raw_sensor:
+        if f.scan is not None:
+            pts = np.asarray(f.scan)
+        else:
+            pts = np.asarray(f.points)
             T = np.asarray(f.pose)
             pts = (pts - T[:3, 3]) @ T[:3, :3]
         if args.downsample > 0:  # `kitti.cpp:80-98` voxel-grid prefilter

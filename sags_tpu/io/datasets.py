@@ -585,13 +585,28 @@ class KITTIOdometryDataset:
     def __iter__(self) -> Iterator[Frame]:
         for i in range(len(self.files)):
             pts = self.scan(i)
-            pose = (self.poses[i] if self.poses is not None
-                    else np.eye(4, dtype=np.float32))
             ts = float(self.times[i]) if self.times is not None else float(i)
-            yield Frame(
-                image=np.zeros((3, 1, 1), np.float32),  # LiDAR-only sequence
-                points=pts,
-                colors=np.zeros_like(pts),
-                pose=pose,
-                timestamp=ts,
-            )
+            if self.poses is not None:
+                # GT available: world points for map growth + raw scan for
+                # tracking (the tracker must never consume GT)
+                T = self.poses[i].astype(np.float32)
+                world = pts @ T[:3, :3].T + T[:3, 3]
+                yield Frame(
+                    image=np.zeros((3, 1, 1), np.float32),  # LiDAR-only
+                    points=world,
+                    colors=np.zeros_like(pts),
+                    pose=T,
+                    timestamp=ts,
+                    scan=pts,
+                )
+            else:
+                # pose-LESS odometry stream (the reference harness's mode,
+                # `python_tester/gicp_odometry2.py:126-166`)
+                yield Frame(
+                    image=np.zeros((3, 1, 1), np.float32),
+                    points=np.zeros((0, 3), np.float32),
+                    colors=np.zeros_like(pts),
+                    pose=None,
+                    timestamp=ts,
+                    scan=pts,
+                )

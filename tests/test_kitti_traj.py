@@ -93,9 +93,15 @@ def test_kitti_dataset_loader(tmp_path):
     frames = list(ds)
     assert frames[2].timestamp == pytest.approx(0.2)
     np.testing.assert_allclose(frames[1].pose, gt[1], atol=1e-6)
-    # sensor-frame invariant: world = R·p_sensor + t
-    rec = frames[2].points @ gt[2][:3, :3].T + gt[2][:3, 3]
+    # Frame contract: `scan` is the raw SENSOR-frame cloud, `points` is its
+    # world registration (world = R·scan + t)
+    rec = frames[2].scan @ gt[2][:3, :3].T + gt[2][:3, 3]
     np.testing.assert_allclose(rec, world, atol=1e-4)
+    np.testing.assert_allclose(frames[2].points, world, atol=1e-4)
+    # without GT poses the stream is pose-LESS: scan only
+    ds_np = KITTIOdometryDataset(str(tmp_path / "velodyne"))
+    f0 = next(iter(ds_np))
+    assert f0.pose is None and len(f0.points) == 0 and len(f0.scan) > 0
 
 
 def test_kitti_calib_pose_mapping(tmp_path):
