@@ -288,7 +288,9 @@ def main():
                 best_dt, rtt = dt_p, rtt_p
         return best_dt, rtt, n_binned, overflow
 
-    dt, rtt, n_binned, overflow = bench_cfg(cfg)
+    # 4 passes with fresh RTT baselines: the shared chip has multi-minute
+    # speed phases (±10%); best-median measures the program, not the phase
+    dt, rtt, n_binned, overflow = bench_cfg(cfg, passes=4)
     fps = 1.0 / dt
 
     result = {
@@ -332,6 +334,10 @@ def main():
                     int(os.environ.get("SAGS_BENCH_PIPE_BUDGET", 300)))
                 if pipe:
                     result.update(pipe)
+                    result["slam_frame_note"] = (
+                        "full track+grow+train loop; every device call pays "
+                        "the host<->device RTT, ~25 ms each through this "
+                        "session's remote-chip tunnel (sub-ms on local TPU)")
                     print(f"# pipeline steady-state: {pipe['slam_frame_hz']} Hz "
                           f"({pipe['slam_frame_ms_median']} ms/frame median, "
                           f"full track+grow+train loop)", file=sys.stderr)

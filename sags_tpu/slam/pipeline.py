@@ -371,9 +371,17 @@ class SLAMPipeline:
 
     def _train_once(self, kf: Keyframe):
         self.state, metrics = self.step_fn(self.state, kf.camera, kf.image, kf.objects)
-        self.losses.append(float(metrics.loss))
+        # ONE packed device fetch for everything the host loop reads: six
+        # separate int()/float() fetches each pay a full host↔device round
+        # trip (~25 ms on a tunneled chip — 150 ms/frame of pure RTT).
+        vals = np.asarray(_pack_metrics(metrics))
+        self.losses.append(float(vals[0]))
         self.train_iter += 1
-        self._maybe_grow_capacity(metrics)
+        self._maybe_grow_capacity(_HostMetrics(
+            loss=float(vals[0]), n_binned=int(vals[1]),
+            overflow_tile=int(vals[2]), overflow_rect=int(vals[3]),
+            overflow_window=int(vals[4]), overflow_big=int(vals[5]),
+        ))
         return metrics
 
     # ------------------------------------------------------------------
@@ -476,3 +484,29 @@ class SLAMPipeline:
 # Single shared definition (core/transforms.py) so every ingestion path —
 # pipeline keyframing here, rosbag replay — applies the SAME reference fix.
 from sags_tpu.core.transforms import LIDAR_TO_CAM as _LIDAR_TO_CAM  # noqa: E402
+
+
+@dataclasses.dataclass
+class _HostMetrics:
+    """Host-side snapshot of the metric scalars `_maybe_grow_capacity` reads."""
+
+    loss: float
+    n_binned: int
+    overflow_tile: int
+    overflow_rect: int
+    overflow_window: int
+    overflow_big: int
+
+
+@jax.jit
+def _pack_metrics(metrics):
+    """Pack the host-read metric scalars into one [6] array → one fetch."""
+    g = lambda name: getattr(metrics, name, jnp.int32(0))
+    return jnp.stack([
+        metrics.loss.astype(jnp.float32),
+        metrics.n_binned.astype(jnp.float32),
+        g("overflow_tile").astype(jnp.float32),
+        g("overflow_rect").astype(jnp.float32),
+        g("overflow_window").astype(jnp.float32),
+        g("overflow_big").astype(jnp.float32),
+    ])
