@@ -141,6 +141,11 @@ class RasterizeConfig:
     # ~35% of rows, so ~0.75 is typically lossless; live rows beyond the
     # budget are dropped and counted in overflow_big (pipeline-adapted).
     windowed_expand_frac: float = 1.0
+    # Pair-sort tie handling: "lex" = (key, gid) two-key sort (reference
+    # radix-order parity); "stable" = one-key stable sort, gid as payload
+    # (less comparator traffic; same pair SET and per-depth-bucket order,
+    # lane-order ties within equal depth buckets).
+    windowed_pair_sort: str = "lex"
     # Base-tier split: 0.0 gives EVERY row the 2×2 offset window (4 lanes
     # each). >0 gives every row only its rect-min tile (1 lane) and routes
     # the (1,0),(0,1),(1,1) offsets through a compacted tier of the rows

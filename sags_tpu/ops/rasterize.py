@@ -1020,12 +1020,19 @@ def _prepare_windowed(
 
     key = jnp.concatenate([k.reshape(-1) for k in keys])
     gid = jnp.concatenate([g.reshape(-1) for g in gids])
-    # num_keys=2: ties in (tile,dq) break by sorted-row id — the reference's
-    # stable radix over gid-major pair generation gives the same order
-    # (`rasterizer_impl.cu:250-270`), and the in-kernel-sort path's
+    # num_keys=2 (default): ties in (tile,dq) break by sorted-row id — the
+    # reference's stable radix over gid-major pair generation gives the same
+    # order (`rasterizer_impl.cu:250-270`), and the in-kernel-sort path's
     # (dq << 11) | window_idx keys are monotone in gid, so all three orders
     # agree and host/kernel parity is deterministic.
-    key_s, idx_s = jax.lax.sort((key, gid), num_keys=2)
+    # pair_sort="stable": one-key STABLE sort with gid as payload — ~25%
+    # less comparator traffic; equal-(tile,dq) pairs keep lane order
+    # (offset-major) instead of row order. Still deterministic; only the fp
+    # summation order of same-depth-bucket pairs can differ.
+    if getattr(cfg, "windowed_pair_sort", "lex") == "stable":
+        key_s, idx_s = jax.lax.sort((key, gid), num_keys=1, is_stable=True)
+    else:
+        key_s, idx_s = jax.lax.sort((key, gid), num_keys=2)
 
     starts = jnp.searchsorted(key_s, jnp.arange(NT + 1, dtype=jnp.int32) << 16)
     seg = starts[1:] - starts[:-1]
