@@ -146,6 +146,13 @@ class RasterizeConfig:
     # (less comparator traffic; same pair SET and per-depth-bucket order,
     # lane-order ties within equal depth buckets).
     windowed_pair_sort: str = "lex"
+    # Use the windowed span-DMA kernels for the TRAINING step too (they are
+    # differentiable): False pins the classic fused path, which won the
+    # round-2 A/B at training density (45.5 vs 42.7 ms/step — the in-VMEM
+    # depth-order select cost more than the row gather it replaces at 100+
+    # anchors/tile). Knob kept for re-evaluation as the windowed path gets
+    # faster.
+    train_windowed: bool = False
     # Base-tier split: 0.0 gives EVERY row the 2×2 offset window (4 lanes
     # each). >0 gives every row only its rect-min tile (1 lane) and routes
     # the (1,0),(0,1),(1,1) offsets through a compacted tier of the rows

@@ -429,8 +429,13 @@ class RosbagDataset:
                     pose[:3, :3] = pose[:3, :3] @ rot_fix
                 imu = (np.stack(imu_buf) if imu_buf else None)
                 imu_buf = []
+                # /cloud_registered is world-frame (the FAST-LIVO2 output
+                # contract); recover the sensor-frame scan through the SAME
+                # (axis-fixed) pose so trackers get raw-scan semantics on
+                # bag replays too
+                scan = ((pts - pose[:3, 3]) @ pose[:3, :3]).astype(np.float32)
                 yield Frame(image=img, points=pts, colors=cols, pose=pose,
-                            timestamp=ti, imu=imu)
+                            timestamp=ti, imu=imu, scan=scan)
 
 
 # ---------------------------------------------------------------------------

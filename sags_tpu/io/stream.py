@@ -33,27 +33,34 @@ def _encode(frame: Frame) -> bytes:
         "image": frame.image,
         "points": frame.points,
         "colors": frame.colors,
-        "pose": frame.pose,
+        # pose=None (pose-less raw-odometry stream) rides as NaNs — npz has
+        # no null; the decoder maps all-NaN back to None
+        "pose": (np.full((4, 4), np.nan, np.float32)
+                 if frame.pose is None else frame.pose),
         "timestamp": np.float64(frame.timestamp),
     }
     if frame.depth is not None:
         arrays["depth"] = frame.depth
     if frame.imu is not None:
         arrays["imu"] = frame.imu
+    if frame.scan is not None:
+        arrays["scan"] = frame.scan
     np.savez(buf, **arrays)
     return buf.getvalue()
 
 
 def _decode(payload: bytes) -> Frame:
     z = np.load(_io.BytesIO(payload))
+    pose = z["pose"]
     return Frame(
         image=z["image"],
         points=z["points"],
         colors=z["colors"],
-        pose=z["pose"],
+        pose=None if np.isnan(pose).all() else pose,
         timestamp=float(z["timestamp"]),
         depth=z["depth"] if "depth" in z else None,
         imu=z["imu"] if "imu" in z else None,
+        scan=z["scan"] if "scan" in z else None,
     )
 
 

@@ -126,7 +126,9 @@ def _loss_fn(
     # so training keeps the classic fused path; windowed wins for RENDER
     # (3600 tiles at 720p, ~70 anchors/tile: 47 -> 25 ms).
     fused = None if cfg.raster.pallas_backward else False
-    out = render_map(m, camera, cfg, mesh=mesh, fused=fused, windowed=False)
+    train_windowed = bool(getattr(cfg.raster, "train_windowed", False))
+    out = render_map(m, camera, cfg, mesh=mesh, fused=fused,
+                     windowed=train_windowed)
 
     # Photometric (`scripts/gaussian_splatting.py:805-810`)
     _, l1 = l1_loss(out.color, gt_image)
