@@ -172,11 +172,13 @@ class RasterizeConfig:
     # "host" = global pair sort + table build in the XLA program (default;
     # differentiable via the windowed/XLA backwards),
     # "kernel" = the Pallas kernel builds + bitonic-sorts its own candidate
-    # keys from the DMA'd window rows (ops/pallas_sort.py) — kills the
-    # ~3.3M-lane host pair sort and the table entirely (~8 ms at the 720p
-    # bench point) and needs NO mid/big tier buffers (validity is the exact
-    # alpha-gate test). Render-only: NOT differentiable; requires
-    # window_blocks ≤ 16 and tile_capacity ≤ 2048.
+    # keys from the DMA'd window rows (ops/pallas_sort.py) — no host pair
+    # sort, no table, no mid/big tier buffers (validity is the exact
+    # alpha-gate test). Round-3 A/B at the 720p bench point: the in-VMEM
+    # bitonic sort costs MORE than the host sort it deletes (+2.8 ms, 0/5
+    # rounds) — stays an option for table-memory-constrained scenes, not a
+    # perf win. Render-only: NOT differentiable; requires window_blocks ≤ 16
+    # and tile_capacity ≤ 2048.
     windowed_sort: str = "host"
 
 
