@@ -277,8 +277,31 @@ def test_socket_stream_roundtrips_all_fields():
     np.testing.assert_array_equal(got[0].image, ds[0].image)
     np.testing.assert_array_equal(got[0].points, ds[0].points)
     np.testing.assert_array_equal(got[1].pose, ds[1].pose)
+    np.testing.assert_array_equal(got[1].scan, ds[1].scan)
     if ds[1].imu is not None:
         np.testing.assert_array_equal(got[1].imu, ds[1].imu)
+
+
+def test_socket_stream_roundtrips_pose_less_frames():
+    """Pose-LESS frames (raw-odometry contract: scan only, pose=None) must
+    survive the wire codec — pose rides as NaNs, the decoder restores None."""
+    import threading
+
+    from sags_tpu.io.datasets import SyntheticDataset
+    from sags_tpu.io.stream import serve_frames, socket_frames
+
+    ds = list(SyntheticDataset(n_frames=2, width=32, height=24,
+                               pose_free=True))
+    assert ds[0].pose is None and ds[0].scan is not None
+    ready = threading.Event()
+    threading.Thread(target=serve_frames, args=(ds,),
+                     kwargs={"port": 0, "ready": ready}, daemon=True).start()
+    assert ready.wait(10.0)
+    got = list(socket_frames(ready.port))
+    assert len(got) == 2
+    assert got[0].pose is None
+    np.testing.assert_array_equal(got[0].scan, ds[0].scan)
+    assert len(got[0].points) == 0
 
 
 def test_frame_queue_timeout_releases_producer():
