@@ -478,7 +478,7 @@ def main(argv=None):
     # a resumed run adopts the persisted config and only EXPLICIT flags
     # override it (cfg_args parity, `arguments/__init__.py:100-120`)
     sp.add_argument("--tracking", default=None,
-                    choices=["none", "gicp", "vgicp", "esikf"])
+                    choices=["none", "gicp", "vgicp", "gicp_map", "esikf"])
     sp.add_argument("--semantics", action="store_true")
     sp.add_argument("--mask-backend", default="geometric",
                     choices=["geometric", "sam"])

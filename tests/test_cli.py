@@ -152,3 +152,19 @@ def test_serve_and_run_slam_two_processes(tmp_path):
         except subprocess.TimeoutExpired:
             srv.kill()
             raise
+
+
+@pytest.mark.slow
+def test_run_slam_gicp_map_tracking():
+    """`run-slam --tracking gicp_map` (scan-to-MAP against the trackable
+    Gaussians) produces a finite ATE from the CLI surface."""
+    out = run_cli(
+        "run-slam", "--dataset", "synthetic", "--frames", "4",
+        "--width", "64", "--height", "48", "--post-train", "0",
+        "--point-budget", "256", "--capacity", "4096",
+        "--tracking", "gicp_map",
+    )
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["tracking"] == "gicp_map"
+    assert res["frames"] == 4
+    assert np.isfinite(res["ate_rmse"])
