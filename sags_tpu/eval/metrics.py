@@ -71,4 +71,14 @@ def lpips(pred: np.ndarray, gt: np.ndarray) -> Optional[float]:
 
 
 def evaluate_pair(pred: np.ndarray, gt: np.ndarray) -> Dict[str, Optional[float]]:
-    return {"psnr": psnr(pred, gt), "ssim": ssim(pred, gt), "lpips": lpips(pred, gt)}
+    """The reference's metric triple. LPIPS falls back to the JAX
+    implementation (`eval/lpips_jax.py`) when torchmetrics is absent, so it
+    is non-null in zero-egress environments (backend reported)."""
+    from sags_tpu.eval.lpips_jax import lpips_any, lpips_backend
+
+    return {
+        "psnr": psnr(pred, gt),
+        "ssim": ssim(pred, gt),
+        "lpips": lpips_any(pred, gt),
+        "lpips_net": lpips_backend(),
+    }

@@ -455,8 +455,13 @@ class SLAMPipeline:
             frame_times=frame_times,
         )
 
-    def evaluate(self, frames: Iterable[Frame], every: int = 1):
-        """PSNR/SSIM over held-out frames (`calc_2d_metric`)."""
+    def evaluate(self, frames: Iterable[Frame], every: int = 1,
+                 with_lpips: bool = True):
+        """PSNR/SSIM/LPIPS over held-out frames — the reference's
+        `calc_2d_metric` triple (`scripts/gaussian_splatting.py:405-443`).
+        LPIPS uses torchmetrics LPIPS(alex) when installed, else the JAX
+        implementation (`eval/lpips_jax.py` — backend reported per score)."""
+        from sags_tpu.eval.lpips_jax import lpips_any, lpips_backend
         from sags_tpu.eval.metrics import psnr, ssim
 
         scores = []
@@ -469,15 +474,18 @@ class SLAMPipeline:
             # adapts capacities (that would recompile mid-eval and change
             # subsequent training). Overflow counters are REPORTED per frame
             # so the caller can see coverage loss and adapt between runs.
-            scores.append(
-                {
-                    "psnr": psnr(np.asarray(out.color), frame.image),
-                    "ssim": ssim(np.asarray(out.color), frame.image),
-                    "overflow_pairs": int(out.overflow_tile)
-                    + int(out.overflow_rect) + int(out.overflow_window)
-                    + int(out.overflow_big),
-                }
-            )
+            pred = np.asarray(out.color)
+            s = {
+                "psnr": psnr(pred, frame.image),
+                "ssim": ssim(pred, frame.image),
+                "overflow_pairs": int(out.overflow_tile)
+                + int(out.overflow_rect) + int(out.overflow_window)
+                + int(out.overflow_big),
+            }
+            if with_lpips:
+                s["lpips"] = lpips_any(pred, frame.image)
+                s["lpips_net"] = lpips_backend()
+            scores.append(s)
         return scores
 
 
