@@ -286,8 +286,9 @@ class TrackingConfig:
     esikf_min_planarity: float = 0.1  # surfel plane-ness gate
     # LIVO visual leg: after the LiDAR update, run the photometric
     # `esikf.photo_update` against the surfel map's intensity anchors
-    # (sequential LiDAR→visual updates, the FAST-LIVO2 order). Only
-    # meaningful when the body frame IS the camera frame (lidar_axes off).
+    # (sequential LiDAR→visual updates, the FAST-LIVO2 order). Under
+    # `lidar_axes` the camera-from-body extrinsic (LIDAR_TO_CAM) is threaded
+    # into the projection Jacobian automatically.
     esikf_visual: bool = False
     esikf_photo_iters: int = 2
     esikf_photo_noise: float = 0.15

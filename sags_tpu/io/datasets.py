@@ -312,12 +312,19 @@ class SyntheticDataset:
     def __init__(self, n_frames=20, width=160, height=120, n_world=4096,
                  pts_per_frame=2048, seed=0, fovx=1.2, fovy=1.0,
                  max_range=8.0, step=0.4, clutter=0.0, imu_substeps=0,
-                 frame_dt=0.1, pose_free=False, texture=0.0):
+                 frame_dt=0.1, pose_free=False, texture=0.0,
+                 lidar_frame=False):
         # pose_free: yielded frames carry pose=None and NO world points —
         # only the sensor-frame scan (the raw-odometry contract; the
         # pipeline must estimate poses and register scans itself). GT stays
         # reachable through self.pose(i) for external ATE evaluation.
+        # lidar_frame: poses/scans/IMU are reported in a LiDAR body frame
+        # (x fwd, y left, z up) whose camera is rotated by LIDAR_TO_CAM —
+        # the FAST-LIVO2 topic shape the reference's axis fix undoes
+        # (`scripts/gaussian_splatting.py:309-315`). Consumers must run with
+        # cfg.lidar_axes=True.
         self.pose_free = pose_free
+        self.lidar_frame = lidar_frame
         self.n_frames = n_frames
         self.width, self.height = width, height
         self.fovx, self.fovy = fovx, fovy
@@ -380,8 +387,8 @@ class SyntheticDataset:
         self.world_scale = np.full((n, 3), 0.12, np.float32)
         self._rng = rng
 
-    def pose(self, i: int) -> np.ndarray:
-        """Smooth forward motion with gentle yaw sway."""
+    def _cam_pose(self, i) -> np.ndarray:
+        """Smooth forward motion with gentle yaw sway (CAMERA pose)."""
         import jax.numpy as jnp
 
         from sags_tpu.core.transforms import so3_exp
@@ -394,10 +401,22 @@ class SyntheticDataset:
         pose[:3, 3] = (0.3 * np.sin(0.2 * i), 0.0, z)
         return pose
 
+    def pose(self, i) -> np.ndarray:
+        """GT pose of the REPORTED frame: the camera pose, or (lidar_frame)
+        the body pose R_b = R_cam·Eᵀ with E = LIDAR_TO_CAM — so that the
+        consumer-side fix R_cam = R_b·E recovers the camera."""
+        pose = self._cam_pose(i)
+        if self.lidar_frame:
+            from sags_tpu.core.transforms import LIDAR_TO_CAM
+
+            pose = pose.copy()
+            pose[:3, :3] = pose[:3, :3] @ LIDAR_TO_CAM.T
+        return pose
+
     def camera(self, i: int):
         from sags_tpu.core.camera import make_camera
 
-        pose = self.pose(i)
+        pose = self._cam_pose(i)
         return make_camera(pose[:3, :3], pose[:3, 3], self.width, self.height,
                            self.fovx, self.fovy)
 
@@ -468,15 +487,21 @@ class SyntheticDataset:
     def __iter__(self) -> Iterator[Frame]:
         for i in range(self.n_frames):
             pose = self.pose(i)
+            cam_pose = self._cam_pose(i)
             img, depth = self.render_gt(i)
             imu = self.imu_between(i) if (self.imu_substeps and i > 0) else None
             # visible world points: those in front of the camera
-            rel = (self.world_xyz - pose[:3, 3]) @ pose[:3, :3]
+            rel = (self.world_xyz - cam_pose[:3, 3]) @ cam_pose[:3, :3]
             # ranged sensor: points in front of the camera within max_range
             vis = (rel[:, 2] > 0.5) & (np.linalg.norm(rel, axis=-1) < self.max_range)
             idx = np.nonzero(vis)[0]
             sel = self._rng.choice(idx, min(self.pts_per_frame, len(idx)),
                                    replace=False)
+            if self.lidar_frame:
+                # body-frame scan: p_b = E·p_cam (rows → @ Eᵀ)
+                from sags_tpu.core.transforms import LIDAR_TO_CAM
+
+                rel = rel @ LIDAR_TO_CAM.T
             if self.pose_free:
                 yield Frame(
                     image=img,

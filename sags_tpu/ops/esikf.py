@@ -264,17 +264,29 @@ def photo_update(
     num_iters: int = 2,
     gate: float = 0.4,
     grad_min: float = 1e-3,
+    R_ext: Optional[jax.Array] = None,  # [3,3] camera axes in the BODY frame
+    t_ext: Optional[jax.Array] = None,  # [3] camera center in the BODY frame
 ) -> PhotoUpdateResult:
     """Photometric ESIKF update — the "V" of LIVO (SURVEY §0.1 north star:
     FAST-LIVO2 is LiDAR-inertial-VISUAL; its sparse-patch direct alignment
     is reproduced here as per-anchor intensity residuals against the
     incremental map's photometric anchors).
 
-    Residual rᵢ = I(π(Rᵀ(qᵢ − p))) − cᵢ with image-gradient chain-rule rows
-    over (dθ, dp), fused into the same information-form iterated update as
-    `scan_update` (sequential LiDAR→visual updates, the FAST-LIVO2 order).
-    The body frame is the camera frame (pinhole fx/fy/cx/cy); callers with
-    an extrinsic fold it into `points_world` / poses beforehand.
+    Residual rᵢ = I(π(Eᵀ(Rᵀ(qᵢ − p) − t_e))) − cᵢ with image-gradient
+    chain-rule rows over (dθ, dp), fused into the same information-form
+    iterated update as `scan_update` (sequential LiDAR→visual updates, the
+    FAST-LIVO2 order).
+
+    `R_ext`/`t_ext` are the camera-from-body extrinsic (E, t_e): the filter
+    state tracks the BODY (LiDAR/IMU) frame while the image lives in the
+    camera frame — the frame relationship the reference bakes in as
+    `R_cam = R_body · Rz(90°) · Rx(−90°)`
+    (`scripts/gaussian_splatting.py:309-315`, our `transforms.LIDAR_TO_CAM`).
+    None means body == camera (identity extrinsic). Jacobians: with
+    q_b = Rᵀ(q−p) and q_c = Eᵀ(q_b − t_e),
+      dr/dδθ = ((E·g) × q_b)ᵀ,   dr/dδp = −(R·E·g)ᵀ
+    (g the pinhole-chained image gradient in the camera frame), which reduce
+    to the body==camera rows g×q_c / −(Rg)ᵀ when E = I, t_e = 0.
     """
     gray = image.mean(axis=0)  # [H,W]
     Himg, Wimg = gray.shape
@@ -286,10 +298,14 @@ def photo_update(
     v0, bg0, ba0, g0 = state.v, state.bg, state.ba, state.g
     Pinv = jnp.linalg.inv(state.P + 1e-9 * jnp.eye(_DIM))
     inv_r = 1.0 / (meas_noise ** 2)
+    M = points_world.shape[0]
 
-    def iteration(carry, _):
-        R, p, v, bg, ba, g = carry
-        q_c = (points_world - p) @ R  # = Rᵀ(q − p), camera frame
+    def residual_rows(R, p):
+        """(r, w, Hm): per-anchor residual, gate weight, measurement rows."""
+        q_b = (points_world - p) @ R  # rows Rᵀ(q − p), body frame
+        q_c = q_b if t_ext is None else q_b - t_ext[None, :]
+        if R_ext is not None:
+            q_c = q_c @ R_ext  # rows Eᵀ(·), camera frame
         zc = q_c[:, 2]
         z_safe = jnp.where(zc > 1e-3, zc, 1.0)
         u = fx * q_c[:, 0] / z_safe + cx
@@ -299,11 +315,10 @@ def photo_update(
             & (u >= 1.0) & (u <= Wimg - 2.0)
             & (v_pix >= 1.0) & (v_pix <= Himg - 2.0)
         )
-        I = _bilinear(gray, u, v_pix)
+        r = _bilinear(gray, u, v_pix) - intensity
         gxi = _bilinear(gx, u, v_pix)
         gyi = _bilinear(gy, u, v_pix)
-        r = I - intensity
-        # dr/dq_c = gᵀ · du/dq_c (pinhole Jacobian)
+        # dr/dq_c = gᵀ · du/dq_c (pinhole Jacobian), camera frame
         gvec = (
             gxi[:, None] * jnp.stack(
                 [fx / z_safe, jnp.zeros_like(zc), -fx * q_c[:, 0] / z_safe**2], -1)
@@ -315,12 +330,17 @@ def photo_update(
             inb & (jnp.abs(r) < gate)
             & (jnp.sum(gvec * gvec, -1) > grad_min ** 2)
         ).astype(jnp.float32)
-        # q_c = exp(−δθ) Rᵀ(q−p) ⇒ dq_c/dδθ = [q_c]× ⇒ dr/dδθ = g×q_c rows;
-        # dq_c/dδp = −Rᵀ ⇒ dr/dδp = −R g
-        Hrot = jnp.cross(gvec, q_c)
-        Hp = -(gvec @ R.T)
+        # rows per the docstring: body-frame lever arm q_b, gradient E·g
+        g_body = gvec if R_ext is None else gvec @ R_ext.T
+        Hrot = jnp.cross(g_body, q_b)
+        Hp = -(g_body @ R.T)
         Hm = jnp.concatenate(
-            [Hrot, Hp, jnp.zeros((points_world.shape[0], _DIM - 6))], axis=-1)
+            [Hrot, Hp, jnp.zeros((M, _DIM - 6))], axis=-1)
+        return r, w, Hm
+
+    def iteration(carry, _):
+        R, p, v, bg, ba, g = carry
+        r, w, Hm = residual_rows(R, p)
         Hw = Hm * (w * inv_r)[:, None]
         A = Pinv + Hm.T @ Hw
         from sags_tpu.core.transforms import so3_log
@@ -344,27 +364,7 @@ def photo_update(
     )
 
     # covariance update with the final linearization
-    q_c = (points_world - p_f) @ R_f
-    zc = q_c[:, 2]
-    z_safe = jnp.where(zc > 1e-3, zc, 1.0)
-    u = fx * q_c[:, 0] / z_safe + cx
-    v_pix = fy * q_c[:, 1] / z_safe + cy
-    inb = (ok & (zc > 0.2) & (u >= 1.0) & (u <= Wimg - 2.0)
-           & (v_pix >= 1.0) & (v_pix <= Himg - 2.0))
-    gxi = _bilinear(gx, u, v_pix)
-    gyi = _bilinear(gy, u, v_pix)
-    r = _bilinear(gray, u, v_pix) - intensity
-    gvec = (
-        gxi[:, None] * jnp.stack(
-            [fx / z_safe, jnp.zeros_like(zc), -fx * q_c[:, 0] / z_safe**2], -1)
-        + gyi[:, None] * jnp.stack(
-            [jnp.zeros_like(zc), fy / z_safe, -fy * q_c[:, 1] / z_safe**2], -1)
-    )
-    w = (inb & (jnp.abs(r) < gate)
-         & (jnp.sum(gvec * gvec, -1) > grad_min ** 2)).astype(jnp.float32)
-    Hm = jnp.concatenate(
-        [jnp.cross(gvec, q_c), -(gvec @ R_f.T),
-         jnp.zeros((points_world.shape[0], _DIM - 6))], axis=-1)
+    _, w, Hm = residual_rows(R_f, p_f)
     Hw = Hm * (w * inv_r)[:, None]
     P_new = jnp.linalg.inv(Pinv + Hm.T @ Hw)
 

@@ -254,11 +254,14 @@ class SLAMPipeline:
             )
             self._esikf = out.state
             tcfg = self.cfg.tracking
-            if (tcfg.esikf_visual and image is not None
-                    and not self.cfg.lidar_axes):
+            if tcfg.esikf_visual and image is not None:
                 # LIVO visual leg: photometric update against the map's
                 # intensity anchors (sequential LiDAR→visual, FAST-LIVO2
-                # order). Body frame == camera frame here (lidar_axes off).
+                # order). Under lidar_axes the filter tracks the LiDAR body
+                # frame and the camera-from-body extrinsic (the reference's
+                # R_cam = R_body·Rz(90)·Rx(−90) fix,
+                # `scripts/gaussian_splatting.py:309-315`) rides into the
+                # projection Jacobian via photo_update's R_ext.
                 apts, aint, aok = esikf.surfel_map_anchors(self._track_map)
                 H, W = image.shape[1:]
                 cam_cfg = self.cfg.camera
@@ -270,6 +273,8 @@ class SLAMPipeline:
                     cam_cfg.cy * H / cam_cfg.height,
                     meas_noise=tcfg.esikf_photo_noise,
                     num_iters=tcfg.esikf_photo_iters,
+                    R_ext=(jnp.asarray(_LIDAR_TO_CAM)
+                           if self.cfg.lidar_axes else None),
                 )
                 self._esikf = pout.state
         # fold this scan (at the estimated pose) into the surfel map
