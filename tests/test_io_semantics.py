@@ -153,6 +153,85 @@ def test_instance_associator_consistency():
     np.testing.assert_array_equal(np.unique(out2), np.unique(out1))
 
 
+def test_device_associator_matches_host_and_stays_on_device():
+    """DeviceInstanceAssociator (the O(L²)-traffic path the pipeline uses)
+    reproduces the host path's remapping on a static cloud, returns a DEVICE
+    array, and votes only with active slots."""
+    import jax.numpy as jnp
+
+    from sags_tpu.semantics.association import DeviceInstanceAssociator
+
+    rng = np.random.default_rng(0)
+    pts = np.concatenate(
+        [
+            rng.normal([-0.5, 0, 2], 0.05, (50, 3)),
+            rng.normal([0.5, 0, 2], 0.05, (50, 3)),
+        ]
+    ).astype(np.float32)
+    C = 128  # fixed-capacity map buffer; tail slots inactive
+    xyz = np.zeros((C, 3), np.float32)
+    xyz[:100] = pts
+    active = np.zeros(C, bool)
+    active[:100] = True
+    H, W = 48, 64
+    mask1 = np.zeros((H, W), np.int64)
+    mask1[:, :32] = 5
+    mask1[:, 32:] = 9
+    mask2 = np.zeros((H, W), np.int64)
+    mask2[:, :32] = 77
+    mask2[:, 32:] = 31
+    intr = (60.0, 60.0, 32.0, 24.0)
+    host = InstanceAssociator(threshold=0.5)
+    h1 = host.associate(pts, mask1, np.eye(4, dtype=np.float32), intr)
+    h2 = host.associate(pts, mask2, np.eye(4, dtype=np.float32), intr)
+
+    dev = DeviceInstanceAssociator(threshold=0.5, num_classes=100)
+    d1 = dev.associate(jnp.asarray(xyz), jnp.asarray(active),
+                       jnp.asarray(mask1, jnp.int32),
+                       np.eye(4, dtype=np.float32), intr)
+    d2 = dev.associate(jnp.asarray(xyz), jnp.asarray(active),
+                       jnp.asarray(mask2, jnp.int32),
+                       np.eye(4, dtype=np.float32), intr)
+    assert hasattr(d2, "devices")  # a jax array — never copied to host
+    np.testing.assert_array_equal(np.asarray(d1), h1)
+    np.testing.assert_array_equal(np.asarray(d2), h2)
+    # label memory is slot-aligned: inactive slots stay -1
+    prev = np.asarray(dev._prev_labels)
+    assert (prev[100:] == -1).all()
+    assert (prev[:100] >= 0).all()
+
+
+def test_device_associator_capacity_growth_keeps_labels():
+    """Capacity growth re-pads the slot-aligned label memory, keeping the
+    existing labels (the map only appends)."""
+    import jax.numpy as jnp
+
+    from sags_tpu.semantics.association import DeviceInstanceAssociator
+
+    rng = np.random.default_rng(1)
+    pts = rng.normal([0, 0, 2], 0.1, (40, 3)).astype(np.float32)
+    H, W = 32, 48
+    mask = np.full((H, W), 7, np.int64)
+    intr = (40.0, 40.0, 24.0, 16.0)
+    dev = DeviceInstanceAssociator(threshold=0.5, num_classes=100)
+    xyz = np.zeros((64, 3), np.float32)
+    xyz[:40] = pts
+    act = np.arange(64) < 40
+    dev.associate(jnp.asarray(xyz), jnp.asarray(act),
+                  jnp.asarray(mask, jnp.int32), np.eye(4, dtype=np.float32),
+                  intr)
+    before = np.asarray(dev._prev_labels)[:40].copy()
+    xyz2 = np.zeros((128, 3), np.float32)
+    xyz2[:40] = pts
+    act2 = np.arange(128) < 40
+    dev.associate(jnp.asarray(xyz2), jnp.asarray(act2),
+                  jnp.asarray(mask, jnp.int32), np.eye(4, dtype=np.float32),
+                  intr)
+    after = np.asarray(dev._prev_labels)
+    np.testing.assert_array_equal(after[:40], before)
+    assert (after[64:] == -1).all()
+
+
 def test_mask_generator_end_to_end(rng):
     """Synthetic two-color image → label map with >1 instance, values <100."""
     img = np.zeros((3, 48, 64), np.float32)
