@@ -27,6 +27,19 @@ import time
 
 import numpy as np
 
+# Persistent XLA compile cache, set BEFORE any jax import and inherited by
+# the pipeline-bench subprocess: the round-3 driver run lost `slam_frame_hz`
+# because the child spent its whole 300 s wall budget on cold compiles
+# (tests/conftest.py already does this for CLI subprocesses). bench_train
+# runs first and compiles slam_step at the same shapes, so the child's
+# biggest program is a cache hit.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 
 def measure_rtt() -> float:
     """Host↔device round-trip of a value fetch on a trivial op. Through the
@@ -150,25 +163,37 @@ def bench_pipeline():
             "slam_frame_ms_median": round(dt * 1000, 1)}
 
 
-def bench_pipeline_bounded(budget_s: int = 300):
+def bench_pipeline_bounded(budget_s: int = 300, attempts: int = 2):
     """Run bench_pipeline in a subprocess with a hard wall-clock bound so a
     slow tunnel/compile phase can NEVER sink the headline JSON the driver
-    records (the pipeline rate is supplementary)."""
+    records (the pipeline rate is supplementary).
+
+    A timed-out attempt still WROTE its compiles to the persistent cache, so
+    one retry typically starts warm and finishes well inside the budget."""
     import subprocess
 
     code = ("import json; from bench import bench_pipeline; "
             "print('PIPE_JSON ' + json.dumps(bench_pipeline()))")
-    try:
-        p = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=budget_s,
-            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
-        )
-    except subprocess.TimeoutExpired:
-        return None
-    for line in p.stdout.splitlines():
-        if line.startswith("PIPE_JSON "):
-            return json.loads(line[len("PIPE_JSON "):])
+    for attempt in range(attempts):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=budget_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# pipeline bench attempt {attempt + 1} hit the "
+                  f"{budget_s}s budget" + (
+                      " (cache warmed, retrying)"
+                      if attempt + 1 < attempts else ""),
+                  file=sys.stderr)
+            continue
+        for line in p.stdout.splitlines():
+            if line.startswith("PIPE_JSON "):
+                return json.loads(line[len("PIPE_JSON "):])
+        tail = (p.stderr or "").strip().splitlines()
+        print("# pipeline bench child produced no result: "
+              + "; ".join(tail[-2:]), file=sys.stderr)
     return None
 
 

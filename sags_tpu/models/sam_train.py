@@ -197,6 +197,18 @@ def main():
         data = make_training_data(seeds=(0, 1, 2, 3, 4, 5), frames_per_world=5)
         data += make_training_data(seeds=(10, 11, 12, 13, 14, 15),
                                    frames_per_world=5, texture=0.5)
+        if "--no-augment" not in sys.argv:
+            # domain-randomized copies (noise/exposure/blur/JPEG — the
+            # distortions real keyframes carry; geometry-preserving, so the
+            # box/mask labels transfer): every other example, full strength
+            from sags_tpu.semantics.domain_rand import domain_randomize
+
+            rng = np.random.default_rng(99)
+            data += [
+                (domain_randomize(img.transpose(2, 0, 1), rng,
+                                  strength=1.0).transpose(1, 2, 0), box, m)
+                for img, box, m in data[::2]
+            ]
         print(f"{len(data)} instance examples")
         if cache:
             np.savez(
