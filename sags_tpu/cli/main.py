@@ -32,6 +32,7 @@ def _load_dataset(args):
             D.SyntheticDataset(
                 n_frames=args.frames, width=args.width, height=args.height,
                 clutter=0.35, imu_substeps=5,
+                texture=getattr(args, "texture", 0.0),
             )
         )
     if args.dataset == "tum":
@@ -466,6 +467,9 @@ def main(argv=None):
         sp.add_argument("--frames", type=int, default=20)
         sp.add_argument("--width", type=int, default=160)
         sp.add_argument("--height", type=int, default=120)
+        sp.add_argument("--texture", type=float, default=0.0,
+                        help="synthetic-world procedural texture strength "
+                             "(0..1; view-consistent instance texture)")
         if live:
             sp.add_argument("--image-topic", default="/rgb_img")
             sp.add_argument("--cloud-topic", default="/cloud_registered")

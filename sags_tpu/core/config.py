@@ -73,8 +73,10 @@ class RasterizeConfig:
     windowed_big_frac: float = 0.125
     # Double-buffered span-DMA prefetch in the windowed forward: tile t+1's
     # candidate window is issued while tile t composites, hiding the copy
-    # wait behind compute (2x window VMEM). Perf A/B knob; bit-exact.
-    window_prefetch: bool = False
+    # wait behind compute (2x window VMEM). Bit-exact. Default ON since
+    # round 4: −0.7 ms at the 720p exact bench point (3/5 interleaved
+    # rounds), neutral at light loads — a scene-independent winner.
+    window_prefetch: bool = True
     # Split-precision windowed forward: the 16 obj channels ride the
     # candidate window as bf16 pairs packed in f32 rows (kernel rows 32→24:
     # 25% less DMA + select traffic). Forward-only — backward always takes
@@ -84,13 +86,16 @@ class RasterizeConfig:
     # Exclusive-prefix-product formulation in the windowed forward kernel:
     # "roll" = cyclic pltpu.roll + lane-iota mask per Hillis-Steele step;
     # "pad" = static shift-fill-1 concat slices (no masks) + [PIX,1] pixel
-    # coords. Numerically identical; a perf A/B knob.
-    scan_impl: str = "roll"
+    # coords. Numerically identical. Default "pad" since round 4 (−0.6 ms,
+    # 4/4 interleaved rounds at the 720p exact bench point).
+    scan_impl: str = "pad"
     # Compositing chunk (K lanes per grid step) of the windowed kernels —
     # must be a multiple of 128 dividing tile_capacity (auto-clamped).
-    # Perf A/B knob: larger K = fewer chunk boundaries (scratch RMW, skip
-    # tests), smaller K = finer early-exit/count-skip granularity.
-    windowed_chunk: int = 256
+    # Larger K = fewer chunk boundaries (scratch RMW, skip tests), smaller
+    # K = finer early-exit/count-skip granularity. Default 512 since
+    # round 4 (−1.9 ms, 4/4 interleaved rounds at the 720p exact bench
+    # point); auto-clamped to tile_capacity when that is smaller.
+    windowed_chunk: int = 512
     # EWA alpha evaluation in the windowed forward: "vpu" = longhand
     # [PIX,K] maps (bit-exact vs the XLA path); "quad" = evaluate the
     # quadratic via a [PIX,6]@[6,K] monomial-basis matmul on tile-local

@@ -1102,6 +1102,163 @@ def _prepare_windowed(
             overflow_window, overflow_big)
 
 
+def windowed_occupancy(
+    means3d: jax.Array,
+    opacities: jax.Array,
+    scales: jax.Array,
+    quats: jax.Array,
+    camera: Camera,
+    cfg: RasterizeConfig,
+    active_mask: Optional[jax.Array] = None,
+):
+    """Measure how many rows each windowed-path buffer actually needs for
+    this scene/camera — the counts that size `windowed_store_fracs`,
+    `windowed_mid_frac`, `windowed_big_frac`, `windowed_copy_ring_frac`,
+    `windowed_expand_frac` and `window_blocks`. Feed the fetched result to
+    `derive_windowed_budgets` to turn hand-tuned fractions into derived
+    ones (margin included there); render-time overflow counters remain the
+    per-frame exactness verification.
+
+    Mirrors the selection logic of `_prepare_windowed` (store-tier slicing,
+    mid/big/ring tier membership, live-row prefix, span block plan) without
+    materializing rows, sorting pairs, or touching feature columns. Returns
+    a dict of device int32 scalars ("store" is a [n_store_tiers] vector);
+    jit-friendly.
+    """
+    P = means3d.shape[0]
+    W, H = camera.width, camera.height
+    tiles_x = -(-W // cfg.tile)
+    tiles_y = -(-H // cfg.tile)
+    NT = tiles_x * tiles_y
+    R = int(round(cfg.max_tiles_per_gaussian ** 0.5))
+    assert R * R == cfg.max_tiles_per_gaussian
+
+    pre = preprocess(means3d, opacities, scales, quats, camera, cfg,
+                     active_mask=active_mask)
+    rw = pre.rmax_x - pre.rmin_x
+    rh = pre.rmax_y - pre.rmin_y
+    maxside = jnp.maximum(rw, rh)
+
+    K_BIG = int(getattr(cfg, "windowed_big_capacity", 0))
+    R_STORE = int(getattr(cfg, "windowed_store_max_rect", 16))
+    use_store = K_BIG > 0 and R_STORE > R
+
+    # anchor histogram for the span-block plan (parents + live copies)
+    hist = jnp.zeros((NT + 1,), jnp.int32)
+
+    excl = jnp.zeros((P,), bool)
+    n_store, n_copy, n_ring = [], jnp.int32(0), jnp.int32(0)
+    prev_cap = R
+    if use_store:
+        for cap_t, _frac_t in cfg.windowed_store_fracs:
+            if cap_t <= R:
+                continue
+            cap_t = min(cap_t, R_STORE)
+            sel = pre.valid & (maxside > prev_cap) & (maxside <= cap_t)
+            prev_cap = cap_t
+            n_store.append(jnp.sum(sel))
+            excl = excl | sel
+            for gy in range(-(-cap_t // R)):
+                for gx in range(-(-cap_t // R)):
+                    vx, vy = gx * R, gy * R
+                    cval = sel & (vx < rw) & (vy < rh)
+                    n_copy = n_copy + jnp.sum(cval)
+                    sw = jnp.clip(rw - vx, 0, R)
+                    sh = jnp.clip(rh - vy, 0, R)
+                    n_ring = n_ring + jnp.sum(cval & ((sw > 2) | (sh > 2)))
+                    anc = (pre.rmin_y + vy) * tiles_x + (pre.rmin_x + vx)
+                    hist = hist.at[jnp.where(cval, anc, NT)].add(
+                        1, mode="drop")
+
+    pv = pre.valid & ~excl
+    live_parents = jnp.sum(pv)
+    n_mid = jnp.sum(pv & ((rw > 2) | (rh > 2)) & (rw <= 3) & (rh <= 3))
+    n_big = jnp.sum(pv & ((rw > 3) | (rh > 3)))
+    hist = hist.at[jnp.where(pv, pre.rmin_y * tiles_x + pre.rmin_x, NT)].add(
+        1, mode="drop")
+
+    # span-block need per tile (replays `_prepare_windowed`'s plan, uncapped)
+    rowstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(hist[:NT])]
+    )
+    t_iota = jnp.arange(NT, dtype=jnp.int32)
+    ty, tx = t_iota // tiles_x, t_iota % tiles_x
+    col0 = jnp.maximum(tx - (R - 1), 0)
+    need_total = jnp.zeros_like(t_iota)
+    for j in range(R):
+        row = ty - (R - 1) + j
+        rvalid = row >= 0
+        rowc = jnp.maximum(row, 0)
+        s_j = jnp.where(rvalid, rowstart[rowc * tiles_x + col0], 0)
+        e_j = jnp.where(rvalid, rowstart[rowc * tiles_x + tx + 1], 0)
+        base_j = s_j // 128
+        need_total = need_total + jnp.where(
+            e_j > s_j, -((base_j * 128 - e_j) // 128), 0)
+    return {
+        "live_parents": live_parents,
+        "live_copies": n_copy,
+        "n_mid": n_mid,
+        "n_big": n_big,
+        "n_ring": n_ring,
+        "store": jnp.stack(n_store) if n_store else jnp.zeros((0,), jnp.int32),
+        "window_blocks_need": jnp.max(need_total),
+    }
+
+
+def derive_windowed_budgets(
+    cfg: RasterizeConfig, occ: dict, P: int, margin: float = 1.05
+) -> RasterizeConfig:
+    """Turn a fetched `windowed_occupancy` result into a config whose
+    windowed-path buffers are snug-but-sufficient for that scene: each
+    buffer gets ceil(margin × measured need) rows (128-aligned where the
+    buffer is), replacing the hand-tuned fractions. Exactness stays
+    verified per-frame by the overflow counters, and the pipeline's
+    overflow adaptation still grows any budget a scene shift outruns."""
+    import dataclasses as _dc
+
+    R = int(round(cfg.max_tiles_per_gaussian ** 0.5))
+    R_STORE = int(getattr(cfg, "windowed_store_max_rect", 16))
+    use_store = int(getattr(cfg, "windowed_big_capacity", 0)) > 0 \
+        and R_STORE > R
+
+    def _need(n, align=128):
+        return max(-(-int(round(int(n) * margin)) // align) * align, align)
+
+    store = [int(x) for x in occ["store"]]
+    fracs, n_copies_static = [], 0
+    si = 0
+    for cap_t, frac_t in cfg.windowed_store_fracs:
+        if cap_t <= R or not use_store:
+            fracs.append((cap_t, frac_t))
+            continue
+        need = min(_need(store[si]), P)
+        si += 1
+        fracs.append((cap_t, (need + 0.5) / P))
+        side = -(-min(cap_t, R_STORE) // R)
+        n_copies_static += side * side * need
+    P_all = P + n_copies_static
+
+    pe_need = min(_need(int(occ["live_parents"]) + int(occ["live_copies"])),
+                  P_all)
+    ring_need = min(int(round(int(occ["n_ring"]) * margin)) + 1,
+                    max(n_copies_static, 1))
+    return _dc.replace(
+        cfg,
+        windowed_store_fracs=tuple(fracs),
+        windowed_mid_frac=(min(_need(occ["n_mid"]), P) + 0.5) / P,
+        windowed_big_frac=(min(_need(occ["n_big"]), P) + 0.5) / P,
+        windowed_copy_ring_frac=(
+            min((ring_need + 0.5) / n_copies_static, 1.0)
+            if n_copies_static else cfg.windowed_copy_ring_frac),
+        windowed_expand_frac=min(pe_need / max(P_all, 1), 1.0),
+        # exact block need: smaller windows are faster (the select-pass
+        # count scales with NB) and a scene drifting past the probe's need
+        # is counted in overflow_window and pipeline-adapted like every
+        # other budget
+        window_blocks=max(int(occ["window_blocks_need"]), 2 * R),
+    )
+
+
 def _composite_windowed_with_xla_vjp(
     G_s, table_rows, table_local, counts, bases, dests, nblks,
     n_feat, tiles_x, tiles_y, cfg, tile_offset=None

@@ -426,9 +426,12 @@ def test_windowed_interpret_matches_xla_cpu():
     objs = rng.normal(size=(n, 16)).astype(np.float32)
     cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
                       W, H, 1.2, 0.9)
+    # base arm pins the non-default scan/prefetch forms so the A/B pairs
+    # below stay meaningful (library defaults are "pad"/prefetch since r4)
     cfg = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=128,
                           chunk=16, pallas_interpret=True, window_blocks=24,
-                          windowed_mid_frac=1.0, windowed_big_frac=1.0)
+                          windowed_mid_frac=1.0, windowed_big_frac=1.0,
+                          scan_impl="roll", window_prefetch=False)
     tgt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
     A = tuple(jnp.asarray(v) for v in (means, opac, scales, quats, colors, objs))
 
@@ -707,3 +710,59 @@ def test_windowed_expand_frac_lossless_and_counted():
     assert int(out_tight.n_binned) < int(out_full.n_binned)
     assert int(out_tight.overflow_big) > 0
     assert np.isfinite(np.asarray(out_tight.color)).all()
+
+
+def test_occupancy_probe_derives_exact_budgets():
+    """`windowed_occupancy` + `derive_windowed_budgets` must produce a config
+    that renders with ZERO overflow on its probe scene (every buffer sized
+    from measured need), matches the generous-budget image bit-for-bit, and
+    is genuinely snug (expansion budget below the padded row store)."""
+    rng = np.random.default_rng(7)
+    n, W, H = 2048, 160, 96
+    z = rng.uniform(2.0, 10.0, (n, 1))
+    xy = rng.uniform(-0.5, 0.5, (n, 2)) * z
+    means = np.concatenate([xy, z], 1).astype(np.float32)
+    scales = (rng.uniform(0.005, 0.02, (n, 3)) * z).astype(np.float32)
+    # a handful of big Gaussians exercise the slice-store tiers
+    scales[:24] *= 12.0
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, -1, keepdims=True)
+    opac = rng.uniform(0.3, 0.9, (n,)).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    objs = rng.normal(size=(n, 16)).astype(np.float32)
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                      W, H, 1.2, 0.9)
+    cfg = RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=256,
+                          chunk=16, pallas_interpret=True, window_blocks=24,
+                          windowed_big_capacity=64)
+    A = tuple(jnp.asarray(v) for v in (means, opac, scales, quats, colors, objs))
+    render = lambda c: jax.jit(lambda *a: rz.rasterize(
+        a[0], a[1], a[2], a[3], cam, c, colors=a[4], obj_features=a[5],
+        windowed=True))(*A)
+
+    occ = {k: np.asarray(v) for k, v in jax.jit(
+        lambda m, o, s, q: rz.windowed_occupancy(m, o, s, q, cam, cfg)
+    )(*A[:4]).items()}
+    derived = rz.derive_windowed_budgets(cfg, occ, n)
+
+    # generous reference: everything buffered, huge window
+    generous = dataclasses.replace(
+        cfg, windowed_mid_frac=1.0, windowed_big_frac=1.0,
+        windowed_copy_ring_frac=1.0, windowed_expand_frac=1.0,
+        windowed_store_fracs=((8, 1.0), (16, 1.0), (32, 1.0)),
+        window_blocks=48)
+    og = render(generous)
+    od = render(derived)
+    for f in ("overflow_tile", "overflow_rect", "overflow_window",
+              "overflow_big"):
+        assert int(getattr(od, f)) == 0, (f, int(getattr(od, f)))
+    assert int(od.n_binned) == int(og.n_binned)
+    np.testing.assert_array_equal(np.asarray(od.color), np.asarray(og.color))
+    np.testing.assert_array_equal(np.asarray(od.final_T),
+                                  np.asarray(og.final_T))
+    # snugness: the probe found slack (this scene culls nothing like 100%
+    # of rows, but the copy/store buffers must be far below the generous 1.0)
+    assert derived.windowed_mid_frac < 1.0
+    assert derived.windowed_big_frac < 1.0
+    assert all(f < 1.0 for _, f in derived.windowed_store_fracs)
+    assert derived.window_blocks <= occ["window_blocks_need"] + 1

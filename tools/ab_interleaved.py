@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--size", default="1280x720")
     ap.add_argument("--check", action="store_true",
                     help="assert all arms produce the same checksum")
+    ap.add_argument("--derive", action="store_true",
+                    help="apply derive_windowed_budgets (occupancy probe) "
+                         "to each arm's config after overrides")
     args = ap.parse_args()
 
     import jax
@@ -83,6 +86,12 @@ def main():
     fns, sums = [], []
     for spec in args.arms:
         cfg = dataclasses.replace(base, **parse_overrides(spec))
+        if args.derive:
+            occ = {k: np.asarray(v) for k, v in jax.jit(
+                lambda m, o, s, q, c=cfg: rz.windowed_occupancy(
+                    m, o, s, q, cam, c)
+            )(*dev_args[:4]).items()}
+            cfg = rz.derive_windowed_budgets(cfg, occ, P)
 
         def render(means, opac, scales, quats, colors, objs, cfg=cfg):
             out = rz.rasterize(means, opac, scales, quats, cam, cfg,
