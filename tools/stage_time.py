@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--gaussians", type=int, default=262144)
     ap.add_argument("--size", default="1280x720")
     ap.add_argument("--no-derive", action="store_true")
+    ap.add_argument("--micro", action="store_true",
+                    help="also time isolated prepare sub-stages (pair sort "
+                         "at the real lane count, tier-compaction "
+                         "partitions, window-local translate) on synthetic "
+                         "data of the same shapes")
     args = ap.parse_args()
 
     import jax
@@ -117,6 +122,84 @@ def main():
         ("kernel", jax.jit(kernel_fn), G_variants),
         ("full", jax.jit(full_fn), variants),
     ]
+
+    if args.micro:
+        # lane counts as _prepare_windowed builds them from this cfg
+        R = int(round(cfg.max_tiles_per_gaussian ** 0.5))
+        n_copies = 0
+        if cfg.windowed_big_capacity > 0:
+            for cap_t, frac_t in cfg.windowed_store_fracs:
+                if cap_t <= R:
+                    continue
+                pb = min(max(int(P * frac_t) // 128 * 128, 128), P)
+                n_copies += (-(-min(cap_t, cfg.windowed_store_max_rect)
+                               // R)) ** 2 * pb
+        P_all = P + n_copies
+        ef = cfg.windowed_expand_frac
+        PE = P_all if ef >= 1.0 else min(-(-int(P_all * ef) // 128) * 128,
+                                         P_all)
+        PM = max(int(P * cfg.windowed_mid_frac) // 128 * 128, 128)
+        PB = max(int(P * cfg.windowed_big_frac) // 128 * 128, 128)
+        crf = cfg.windowed_copy_ring_frac
+        NC = -(-max(int(n_copies * crf), 1) // 128) * 128 if n_copies else 0
+        lanes = 4 * PE + 5 * PM + 12 * PB + 12 * NC
+        print(f"# micro shapes: PE={PE} PM={PM} PB={PB} NC={NC} "
+              f"pair_lanes={lanes}", file=sys.stderr)
+        kk = jnp.asarray(rng.integers(0, 1 << 30, lanes, dtype=np.int32))
+        gg = jnp.asarray(rng.integers(0, P_all, lanes, dtype=np.int32))
+
+        def pair_sort_fn(k, g):
+            ks, gs = jax.lax.sort((k, g), num_keys=2)
+            return ks[-1] + gs[-1]
+
+        sel = jnp.asarray(rng.integers(0, 2, PE, dtype=np.int32))
+        iota_pe = jnp.arange(PE, dtype=jnp.int32)
+
+        def partition4_fn(s, d):
+            tot = d
+            for i in range(4):
+                _, idx = jax.lax.sort(((s + i) % 2, iota_pe), num_keys=1)
+                tot = tot + idx[0]
+            return tot
+
+        NT = tiles_x * tiles_y
+        K = cfg.tile_capacity
+        tbl = jnp.asarray(
+            rng.integers(-1, P_all, (NT, K), dtype=np.int32))
+        rs = jnp.asarray(np.sort(rng.integers(0, P_all, NT + 1))
+                         .astype(np.int32))
+
+        def translate_fn(table, d):
+            t_iota = jnp.arange(NT, dtype=jnp.int32)
+            ty2, tx2 = t_iota // tiles_x, t_iota % tiles_x
+            col0 = jnp.maximum(tx2 - (R - 1), 0)
+            local = jnp.full_like(table, -1)
+            dest = jnp.zeros_like(t_iota)
+            for j in range(R):
+                row = ty2 - (R - 1) + j
+                rowc = jnp.maximum(row, 0)
+                s_j = jnp.where(row >= 0, rs[rowc * tiles_x + col0], 0)
+                e_j = jnp.where(row >= 0, rs[
+                    jnp.minimum(rowc * tiles_x + tx2 + 1, NT)], 0)
+                base_j = s_j // 128
+                nblk = jnp.where(e_j > s_j,
+                                 -((base_j * 128 - e_j) // 128), 0)
+                offs = table - base_j[:, None] * 128
+                m = ((table >= s_j[:, None]) & (table < e_j[:, None])
+                     & (offs < nblk[:, None] * 128))
+                local = jnp.where(m, dest[:, None] * 128 + offs, local)
+                dest = dest + nblk
+            return local.sum() + d
+
+        dv = [jnp.float32(v) for v in range(4)]
+        progs += [
+            ("pair_sort", jax.jit(pair_sort_fn),
+             [(kk + v, gg) for v in range(4)]),
+            ("partition4", jax.jit(partition4_fn),
+             [(sel, d) for d in dv]),
+            ("translate", jax.jit(translate_fn),
+             [(tbl, d) for d in dv]),
+        ]
     for name, f, vs in progs:
         float(np.asarray(f(*vs[0])).ravel()[0])  # compile+warm
 
