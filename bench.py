@@ -27,18 +27,33 @@ import time
 
 import numpy as np
 
-# Persistent XLA compile cache, set BEFORE any jax import and inherited by
-# the pipeline-bench subprocess: the round-3 driver run lost `slam_frame_hz`
-# because the child spent its whole 300 s wall budget on cold compiles
-# (tests/conftest.py already does this for CLI subprocesses). bench_train
-# runs first and compiles slam_step at the same shapes, so the child's
-# biggest program is a cache hit.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
+# Persistent XLA compile cache. The env vars alone are NOT enough on this
+# runtime: a sitecustomize imports jax at interpreter startup, which
+# snapshots the (unset) env before this module runs — the cache then reports
+# "disabled/not initialized" and every axon-tunnel compile (measured 146 s
+# for a trivial 512x512 program) is paid fresh in every process. The
+# config.update calls below work AFTER import and are what actually enables
+# it; the env vars still help subprocesses whose sitecustomize runs with
+# them already exported (tests/conftest.py's CLI children).
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # cache is an optimization, never a hard dep
+        print(f"# compile cache unavailable: {e}", file=sys.stderr)
+
+
+_enable_compile_cache()
 
 
 def measure_rtt() -> float:

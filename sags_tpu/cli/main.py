@@ -452,7 +452,27 @@ def cmd_eval(args):
     print(json.dumps({"n_eval": len(scores), **agg, "lpips_net": lpips_net}))
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for every CLI entry point. Must go
+    through jax.config.update: on hosts where a sitecustomize imports jax at
+    interpreter startup, env vars set later are ignored and every compile is
+    paid fresh (through a tunneled chip that is minutes per program)."""
+    import os
+
+    import jax
+
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "sags_tpu", "jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # an optimization, never a hard dependency
+        print(f"# compile cache unavailable: {e}", file=sys.stderr)
+
+
 def main(argv=None):
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="sags-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
