@@ -133,15 +133,20 @@ def cmd_run_slam(args):
         scores = pipe.evaluate(frames, every=max(1, n_frames // 5))
         # None (JSON null), not NaN: bare NaN is invalid JSON
         psnr = float(np.mean([s["psnr"] for s in scores])) if scores else None
+        ssim_v = (float(np.mean([s["ssim"] for s in scores]))
+                  if scores else None)
         lpips_v = (
             float(np.mean([s["lpips"] for s in scores
                            if s.get("lpips") is not None]))
             if scores and any(s.get("lpips") is not None for s in scores)
             else None
         )
+        lpips_net = scores[0].get("lpips_net") if scores else None
     else:  # live stream: frames are consumed; no replay to evaluate against
         psnr = None
+        ssim_v = None
         lpips_v = None
+        lpips_net = None
     # steady-state loop rate: median per-frame wall time (the first frames
     # carry XLA compiles — the wall-clock "fps" includes them, this doesn't)
     fps_steady = (
@@ -156,7 +161,9 @@ def cmd_run_slam(args):
                 "fps_steady": fps_steady,
                 "ate_rmse": ate if np.isfinite(ate) else None,
                 "mean_psnr": psnr,
+                "mean_ssim": ssim_v,
                 "mean_lpips": lpips_v,
+                "lpips_net": lpips_net,
                 "keyframes": res.n_keyframes,
                 "timed_out": res.timed_out,
                 "tracking": cfg.tracking.backend,

@@ -78,7 +78,8 @@ class SLAMPipeline:
         self.losses: List[float] = []
         self.train_iter = 0
         self._kf_rng = np.random.default_rng(rng_seed)
-        self._prev_scan: Optional[np.ndarray] = None
+        self._eye4 = jnp.eye(4)  # device-resident identity initial guess
+        self._prev_scan = None  # (scan, mask) DEVICE arrays of last frame
         self._track_T = np.eye(4, dtype=np.float32)
         self._esikf = None
         self._track_map = None  # accumulated surfel voxel map for ESIKF
@@ -150,19 +151,22 @@ class SLAMPipeline:
         if mode == "gicp_map":
             return self._track_gicp_map(scan_p, msk)
 
+        # stage once, keep the DEVICE arrays for next frame's target — a
+        # numpy prev_scan would re-upload 4096x3 floats every frame (a full
+        # tunnel RTT on remote chips)
+        scan_d, msk_d = jnp.asarray(scan_p), jnp.asarray(msk)
         if self._prev_scan is None:
-            self._prev_scan = (scan_p, msk)
+            self._prev_scan = (scan_d, msk_d)
             return self._track_T.copy()
 
         prev_p, prev_m = self._prev_scan
         align = gicp_ops.vgicp_align if mode == "vgicp" else gicp_ops.gicp_align
         res = align(
-            jnp.asarray(scan_p), jnp.asarray(prev_p), jnp.asarray(msk),
-            jnp.asarray(prev_m), jnp.eye(4), self.cfg.gicp,
+            scan_d, prev_p, msk_d, prev_m, self._eye4, self.cfg.gicp,
         )
         delta = np.asarray(res.T)
         self._track_T = (self._track_T @ delta).astype(np.float32)
-        self._prev_scan = (scan_p, msk)
+        self._prev_scan = (scan_d, msk_d)
         return self._track_T.copy()
 
     def _track_gicp_map(self, scan_p: np.ndarray, msk: np.ndarray) -> np.ndarray:
@@ -175,6 +179,7 @@ class SLAMPipeline:
         tgt, tcov, tmask, n_sel = gm.trackable_subset(
             self.state.map, tcfg.opacity_threshold, tcfg.max_points
         )
+        scan_d, msk_d = jnp.asarray(scan_p), jnp.asarray(msk)
         if not self._map_anchored and int(n_sel) >= 64:
             self._map_anchored = True  # map only grows: fetch never again
         if not self._map_anchored:
@@ -182,19 +187,18 @@ class SLAMPipeline:
             if self._prev_scan is not None:
                 prev_p, prev_m = self._prev_scan
                 res = gicp_ops.gicp_align(
-                    jnp.asarray(scan_p), jnp.asarray(prev_p), jnp.asarray(msk),
-                    jnp.asarray(prev_m), jnp.eye(4), self.cfg.gicp,
+                    scan_d, prev_p, msk_d, prev_m, self._eye4, self.cfg.gicp,
                 )
                 self._track_T = (self._track_T @ np.asarray(res.T)).astype(
                     np.float32)
-            self._prev_scan = (scan_p, msk)
+            self._prev_scan = (scan_d, msk_d)
             return self._track_T.copy()
         res = gicp_ops.gicp_align(
-            jnp.asarray(scan_p), tgt, jnp.asarray(msk), tmask,
+            scan_d, tgt, msk_d, tmask,
             jnp.asarray(self._track_T), self.cfg.gicp, target_covs=tcov,
         )
         self._track_T = np.asarray(res.T).astype(np.float32)
-        self._prev_scan = (scan_p, msk)
+        self._prev_scan = (scan_d, msk_d)
         return self._track_T.copy()
 
     def _track_esikf(

@@ -37,6 +37,12 @@ def test_run_slam_synthetic(tmp_path):
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["frames"] == 3 and res["train_iters"] >= 1
     assert np.isfinite(res["ate_rmse"])
+    # the reference's full calc_2d_metric triple reaches the CLI surface
+    # (`scripts/gaussian_splatting.py:405-443`): PSNR, SSIM, LPIPS all
+    # non-null with the LPIPS backend identified
+    for k in ("mean_psnr", "mean_ssim", "mean_lpips"):
+        assert res[k] is not None and np.isfinite(res[k]), (k, res)
+    assert res["lpips_net"] in ("alex", "random_alex")
     assert (tmp_path / "map.ply").exists()
 
     # render from the saved map
