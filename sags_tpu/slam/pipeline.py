@@ -80,7 +80,11 @@ class SLAMPipeline:
         self._kf_rng = np.random.default_rng(rng_seed)
         self._eye4 = jnp.eye(4)  # device-resident identity initial guess
         self._prev_scan = None  # (scan, mask) DEVICE arrays of last frame
-        self._track_T = np.eye(4, dtype=np.float32)
+        # DEVICE-resident accumulated pose: per-frame tracking never fetches
+        # the 4x4 to host (a full tunnel RTT each) — poses are stacked and
+        # fetched ONCE when the run ends; cameras/transforms consume the
+        # device array lazily (Camera is a pytree of traced leaves)
+        self._track_T = jnp.eye(4)
         self._esikf = None
         self._track_map = None  # accumulated surfel voxel map for ESIKF
         self._esikf_boot = None  # first scan held for the velocity bootstrap
@@ -157,17 +161,17 @@ class SLAMPipeline:
         scan_d, msk_d = jnp.asarray(scan_p), jnp.asarray(msk)
         if self._prev_scan is None:
             self._prev_scan = (scan_d, msk_d)
-            return self._track_T.copy()
+            return self._track_T
 
         prev_p, prev_m = self._prev_scan
         align = gicp_ops.vgicp_align if mode == "vgicp" else gicp_ops.gicp_align
         res = align(
             scan_d, prev_p, msk_d, prev_m, self._eye4, self.cfg.gicp,
         )
-        delta = np.asarray(res.T)
-        self._track_T = (self._track_T @ delta).astype(np.float32)
+        # accumulate ON DEVICE — no per-frame 4x4 fetch
+        self._track_T = jnp.matmul(self._track_T, res.T)
         self._prev_scan = (scan_d, msk_d)
-        return self._track_T.copy()
+        return self._track_T
 
     def _track_gicp_map(self, scan_p: np.ndarray, msk: np.ndarray) -> np.ndarray:
         """Scan-to-MAP GICP: align against the trackable Gaussians' (xyz,
@@ -189,17 +193,16 @@ class SLAMPipeline:
                 res = gicp_ops.gicp_align(
                     scan_d, prev_p, msk_d, prev_m, self._eye4, self.cfg.gicp,
                 )
-                self._track_T = (self._track_T @ np.asarray(res.T)).astype(
-                    np.float32)
+                self._track_T = jnp.matmul(self._track_T, res.T)
             self._prev_scan = (scan_d, msk_d)
-            return self._track_T.copy()
+            return self._track_T
         res = gicp_ops.gicp_align(
             scan_d, tgt, msk_d, tmask,
             jnp.asarray(self._track_T), self.cfg.gicp, target_covs=tcov,
         )
-        self._track_T = np.asarray(res.T).astype(np.float32)
+        self._track_T = res.T
         self._prev_scan = (scan_d, msk_d)
-        return self._track_T.copy()
+        return self._track_T
 
     def _track_esikf(
         self, scan_p: np.ndarray, msk: np.ndarray,
@@ -292,18 +295,17 @@ class SLAMPipeline:
                            if self.cfg.lidar_axes else None),
                 )
                 self._esikf = pout.state
-        # fold this scan (at the estimated pose) into the surfel map
-        R = np.asarray(self._esikf.R)
-        p = np.asarray(self._esikf.p)
-        world = scan_p @ R.T + p
+        # fold this scan (at the estimated pose) into the surfel map — all
+        # on device: the world transform, the map fold, and the returned
+        # 4x4 never touch the host (no per-frame fetch)
+        R = self._esikf.R
+        p = self._esikf.p
+        world = jnp.asarray(scan_p) @ R.T + p
         self._track_map = esikf.surfel_map_update(
-            self._track_map, jnp.asarray(world), jnp.asarray(msk),
+            self._track_map, world, jnp.asarray(msk),
             intensity=None if intens is None else jnp.asarray(intens),
         )
-        T = np.eye(4, dtype=np.float32)
-        T[:3, :3] = R
-        T[:3, 3] = p
-        return T
+        return jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(p)
 
     def _maybe_grow_capacity(self, metrics) -> None:
         """Overflow-adaptive render capacities (the reference has no silent
@@ -466,8 +468,16 @@ class SLAMPipeline:
             kf = self.keyframes[self._kf_rng.integers(len(self.keyframes))]
             self._train_once(kf)
 
+        # trackers return DEVICE poses (accumulated without per-frame
+        # fetches); stack them on device and fetch the whole trajectory in
+        # ONE transfer
+        if poses_est:
+            poses_np = np.asarray(jnp.stack([jnp.asarray(p)
+                                             for p in poses_est]))
+        else:
+            poses_np = np.zeros((0, 4, 4))
         return PipelineResult(
-            poses_est=np.stack(poses_est) if poses_est else np.zeros((0, 4, 4)),
+            poses_est=poses_np.astype(np.float32),
             poses_gt=np.stack(poses_gt) if poses_gt else np.zeros((0, 4, 4)),
             n_keyframes=len(self.keyframes),
             train_iters=self.train_iter,
