@@ -79,7 +79,10 @@ class SLAMPipeline:
         self.train_iter = 0
         self._kf_rng = np.random.default_rng(rng_seed)
         self._eye4 = jnp.eye(4)  # device-resident identity initial guess
-        self._prev_scan = None  # (scan, mask) DEVICE arrays of last frame
+        # (scan, mask, covs) DEVICE arrays of the last scan — covariances
+        # are estimated once per cloud and reused as next frame's target
+        self._prev_scan = None
+        self._covs_fn = None
         # DEVICE-resident accumulated pose: per-frame tracking never fetches
         # the 4x4 to host (a full tunnel RTT each) — poses are stacked and
         # fetched ONCE when the run ends; cameras/transforms consume the
@@ -157,21 +160,38 @@ class SLAMPipeline:
 
         # stage once, keep the DEVICE arrays for next frame's target — a
         # numpy prev_scan would re-upload 4096x3 floats every frame (a full
-        # tunnel RTT on remote chips)
+        # tunnel RTT on remote chips). Each scan's surfel covariances are
+        # estimated ONCE and reused as next frame's target covariances —
+        # the reference's set_input_source/target caching semantics
+        # (`fast_gicp_impl.hpp:380-479` runs per input cloud, not per align)
         scan_d, msk_d = jnp.asarray(scan_p), jnp.asarray(msk)
+        covs_d = self._scan_covs(scan_d, msk_d)
         if self._prev_scan is None:
-            self._prev_scan = (scan_d, msk_d)
+            self._prev_scan = (scan_d, msk_d, covs_d)
             return self._track_T
 
-        prev_p, prev_m = self._prev_scan
+        prev_p, prev_m, prev_c = self._prev_scan
         align = gicp_ops.vgicp_align if mode == "vgicp" else gicp_ops.gicp_align
         res = align(
             scan_d, prev_p, msk_d, prev_m, self._eye4, self.cfg.gicp,
+            source_covs=covs_d, target_covs=prev_c,
         )
         # accumulate ON DEVICE — no per-frame 4x4 fetch
         self._track_T = jnp.matmul(self._track_T, res.T)
-        self._prev_scan = (scan_d, msk_d)
+        self._prev_scan = (scan_d, msk_d, covs_d)
         return self._track_T
+
+    def _scan_covs(self, scan_d, msk_d):
+        """One jitted surfel-covariance program per pipeline (static GICP
+        params) — computed once per scan, reused across align calls."""
+        if self._covs_fn is None:
+            g = self.cfg.gicp
+            self._covs_fn = jax.jit(
+                lambda p, m: gicp_ops.estimate_covariances(
+                    p, m, g.k_correspondences, g.knn_max_distance,
+                    g.regularization,
+                ).covs)
+        return self._covs_fn(scan_d, msk_d)
 
     def _track_gicp_map(self, scan_p: np.ndarray, msk: np.ndarray) -> np.ndarray:
         """Scan-to-MAP GICP: align against the trackable Gaussians' (xyz,
@@ -186,22 +206,25 @@ class SLAMPipeline:
         scan_d, msk_d = jnp.asarray(scan_p), jnp.asarray(msk)
         if not self._map_anchored and int(n_sel) >= 64:
             self._map_anchored = True  # map only grows: fetch never again
+        covs_d = self._scan_covs(scan_d, msk_d)
         if not self._map_anchored:
             # thin map (first frames): one scan-to-scan delta keeps motion
             if self._prev_scan is not None:
-                prev_p, prev_m = self._prev_scan
+                prev_p, prev_m, prev_c = self._prev_scan
                 res = gicp_ops.gicp_align(
                     scan_d, prev_p, msk_d, prev_m, self._eye4, self.cfg.gicp,
+                    source_covs=covs_d, target_covs=prev_c,
                 )
                 self._track_T = jnp.matmul(self._track_T, res.T)
-            self._prev_scan = (scan_d, msk_d)
+            self._prev_scan = (scan_d, msk_d, covs_d)
             return self._track_T
         res = gicp_ops.gicp_align(
             scan_d, tgt, msk_d, tmask,
-            jnp.asarray(self._track_T), self.cfg.gicp, target_covs=tcov,
+            jnp.asarray(self._track_T), self.cfg.gicp,
+            source_covs=covs_d, target_covs=tcov,
         )
         self._track_T = res.T
-        self._prev_scan = (scan_d, msk_d)
+        self._prev_scan = (scan_d, msk_d, covs_d)
         return self._track_T
 
     def _track_esikf(
