@@ -33,6 +33,9 @@ def _load_dataset(args):
                 n_frames=args.frames, width=args.width, height=args.height,
                 clutter=0.35, imu_substeps=5,
                 texture=getattr(args, "texture", 0.0),
+                step=getattr(args, "step", 0.4),
+                n_world=getattr(args, "world_points", 4096),
+                pts_per_frame=getattr(args, "scan_points", 2048),
             )
         )
     if args.dataset == "tum":
@@ -130,7 +133,16 @@ def cmd_run_slam(args):
     ate, _ = ate_rmse(res.poses_est, res.poses_gt)
     n_frames = len(frames) if isinstance(frames, list) else len(res.poses_est)
     if isinstance(frames, list):
-        scores = pipe.evaluate(frames, every=max(1, n_frames // 5))
+        # evaluate at the poses the map was TRAINED with (the estimated
+        # trajectory) — the reference's calc_2d_metric renders its saved
+        # odometry-posed viewpoints (`scripts/gaussian_splatting.py:405-443`);
+        # GT-posed eval would convolve render quality with tracking drift
+        # (ATE reports that separately). --eval-poses gt restores GT eval.
+        eval_poses = (res.poses_est
+                      if getattr(args, "eval_poses", "est") == "est"
+                      else None)
+        scores = pipe.evaluate(frames, every=max(1, n_frames // 5),
+                               poses=eval_poses)
         # None (JSON null), not NaN: bare NaN is invalid JSON
         psnr = float(np.mean([s["psnr"] for s in scores])) if scores else None
         ssim_v = (float(np.mean([s["ssim"] for s in scores]))
@@ -497,6 +509,12 @@ def main(argv=None):
         sp.add_argument("--texture", type=float, default=0.0,
                         help="synthetic-world procedural texture strength "
                              "(0..1; view-consistent instance texture)")
+        sp.add_argument("--step", type=float, default=0.4,
+                        help="synthetic trajectory step per frame")
+        sp.add_argument("--world-points", type=int, default=4096,
+                        help="synthetic world point count")
+        sp.add_argument("--scan-points", type=int, default=2048,
+                        help="synthetic per-frame scan point count")
         if live:
             sp.add_argument("--image-topic", default="/rgb_img")
             sp.add_argument("--cloud-topic", default="/cloud_registered")
@@ -525,6 +543,9 @@ def main(argv=None):
     sp.add_argument("--port", type=int, default=7011,
                     help="TCP port for --dataset socket (io/stream.py)")
     sp.add_argument("--post-train", type=int, default=None)
+    sp.add_argument("--eval-poses", default="est", choices=["est", "gt"],
+                    help="render eval views at the estimated (trained-with) "
+                         "poses or at ground-truth poses")
     sp.add_argument("--point-budget", type=int, default=4096)
     sp.add_argument("--capacity", type=int, default=0)
     sp.add_argument("--save", default="")

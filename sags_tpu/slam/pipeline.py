@@ -511,11 +511,18 @@ class SLAMPipeline:
         )
 
     def evaluate(self, frames: Iterable[Frame], every: int = 1,
-                 with_lpips: bool = True):
+                 with_lpips: bool = True, poses=None):
         """PSNR/SSIM/LPIPS over held-out frames — the reference's
         `calc_2d_metric` triple (`scripts/gaussian_splatting.py:405-443`).
         LPIPS uses torchmetrics LPIPS(alex) when installed, else the JAX
-        implementation (`eval/lpips_jax.py` — backend reported per score)."""
+        implementation (`eval/lpips_jax.py` — backend reported per score).
+
+        `poses` ([F,4,4], optional) renders frame i at poses[i] instead of
+        frame.pose — pass the run's ESTIMATED trajectory to measure map
+        quality at the poses the map was trained with (the reference
+        evaluates its saved SharedCam viewpoints, which carry odometry
+        poses, `scripts/gaussian_splatting.py:405-443`); GT poses then
+        convolve rendering quality with tracking drift."""
         from sags_tpu.eval.lpips_jax import lpips_any, lpips_backend
         from sags_tpu.eval.metrics import psnr, ssim
 
@@ -523,7 +530,9 @@ class SLAMPipeline:
         for i, frame in enumerate(frames):
             if i % every:
                 continue
-            cam = self._camera_for(frame, np.asarray(frame.pose))
+            pose_i = (np.asarray(poses[i]) if poses is not None
+                      else np.asarray(frame.pose))
+            cam = self._camera_for(frame, pose_i)
             out = slam_step_mod.render_map(self.state.map, cam, self.cfg)
             # Measurement must not steer the system it measures: eval NEVER
             # adapts capacities (that would recompile mid-eval and change
