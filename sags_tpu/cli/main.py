@@ -78,7 +78,7 @@ def cmd_run_slam(args):
 
     from sags_tpu.core.config import SLAMConfig, preset
     from sags_tpu.io.ply import save_map_ply
-    from sags_tpu.mapping.gaussian_map import compact
+    from sags_tpu.mapping.gaussian_map import compact, n_active
     from sags_tpu.semantics.masks import MaskGenerator
     from sags_tpu.slam.pipeline import SLAMPipeline
     from sags_tpu.utils.traj import ate_rmse
@@ -154,11 +154,14 @@ def cmd_run_slam(args):
             else None
         )
         lpips_net = scores[0].get("lpips_net") if scores else None
+        eval_overflow = (int(np.sum([s.get("overflow_pairs", 0)
+                                     for s in scores])) if scores else None)
     else:  # live stream: frames are consumed; no replay to evaluate against
         psnr = None
         ssim_v = None
         lpips_v = None
         lpips_net = None
+        eval_overflow = None
     # steady-state loop rate: median per-frame wall time (the first frames
     # carry XLA compiles — the wall-clock "fps" includes them, this doesn't)
     fps_steady = (
@@ -176,6 +179,8 @@ def cmd_run_slam(args):
                 "mean_ssim": ssim_v,
                 "mean_lpips": lpips_v,
                 "lpips_net": lpips_net,
+                "eval_overflow_pairs": eval_overflow,
+                "active_gaussians": int(n_active(res.state.map)),
                 "keyframes": res.n_keyframes,
                 "timed_out": res.timed_out,
                 "tracking": cfg.tracking.backend,

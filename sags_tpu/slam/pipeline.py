@@ -98,6 +98,11 @@ class SLAMPipeline:
         # the predicate first flips (round-3 VERDICT weak #6).
         self._map_anchored = False
         self._surfels_live = False
+        # Host-side upper bound of allocated map slots (count only grows —
+        # it is the allocation high-water mark): growth triggers BEFORE an
+        # add could hit capacity, with no per-frame device fetch. Lazily
+        # seeded from the device count so resumed states account correctly.
+        self._count_ub: Optional[int] = None
 
     # ------------------------------------------------------------------
     def _camera_for(self, frame: Frame, pose: np.ndarray) -> Camera:
@@ -180,6 +185,29 @@ class SLAMPipeline:
         self._track_T = jnp.matmul(self._track_T, res.T)
         self._prev_scan = (scan_d, msk_d, covs_d)
         return self._track_T
+
+    def _maybe_grow_map(self, incoming: int) -> None:
+        """Grow the fixed-capacity map by doubling when the next add could
+        hit the allocation mark — the role of the reference's unbounded
+        optimizer-state concat (`gaussian_model.py:485-534`). One recompile
+        per doubling (the MapConfig design); at `max_capacity` adds beyond
+        the bound drop and stay counted by `add_points`."""
+        if self._count_ub is None:
+            self._count_ub = int(np.asarray(self.state.map.count))
+        cap = self.state.map.capacity
+        if self._count_ub + incoming <= cap:
+            self._count_ub += incoming
+            return
+        new_cap = cap
+        need = self._count_ub + incoming
+        while new_cap < need and new_cap < self.cfg.map.max_capacity:
+            new_cap = min(new_cap * 2, self.cfg.map.max_capacity)
+        self._count_ub += incoming  # ub even if capped (adds drop past cap)
+        if new_cap == cap:
+            return
+        new_map, new_opt = gm.grow(self.state.map, new_cap,
+                                   self.state.opt_state)
+        self.state = self.state._replace(map=new_map, opt_state=new_opt)
 
     def _scan_covs(self, scan_d, msk_d):
         """One jitted surfel-covariance program per pipeline (static GICP
@@ -460,6 +488,7 @@ class SLAMPipeline:
             pts = df.points
             if df.sensor_frame:
                 pts = pts @ jnp.asarray(pose[:3, :3].T) + jnp.asarray(pose[:3, 3])
+            self._maybe_grow_map(self.point_budget)
             self.state, _ = self.add_fn(
                 self.state, pts, df.colors, df.mask,
                 jnp.int32(frame_idx),

@@ -173,3 +173,30 @@ def test_pipeline_pose_free_tracking():
     assert np.isfinite(ate) and ate < 0.12, ate
     # the map grew from estimate-registered scans
     assert int(np.asarray(res.state.map.active).sum()) > 0
+
+
+@pytest.mark.slow
+def test_pipeline_grows_map_capacity():
+    """A stream whose cumulative cloud exceeds the initial capacity must
+    GROW the map (the reference's optimizer-state concat is unbounded,
+    `gaussian_model.py:485-534`) — before round 4 the pipeline silently
+    dropped every point past the initial allocation, so long sequences
+    mapped only their first frames. Growth must carry training state: the
+    optimizer keeps stepping and late frames' points land in the map."""
+    import dataclasses as _dc
+
+    cfg = tiny_cfg("none")
+    cfg = cfg.replace(map=_dc.replace(cfg.map, initial_capacity=1024,
+                                      max_capacity=8192))
+    ds = list(SyntheticDataset(n_frames=8, width=96, height=64, n_world=8192,
+                               pts_per_frame=512, step=0.15, clutter=0.3))
+    pipe = SLAMPipeline(cfg, point_budget=512, rng_seed=0)
+    res = pipe.run(ds, post_train=2)
+    cap = res.state.map.capacity
+    n_act = int(np.asarray(res.state.map.active).sum())
+    assert cap > 1024, cap  # grew (doubling)
+    assert n_act > 1024, n_act  # late points actually landed
+    assert int(np.asarray(res.state.map.count)) <= cap
+    assert all(np.isfinite(l) for l in res.losses)
+    # growth respects the hard ceiling
+    assert cap <= 8192

@@ -48,24 +48,45 @@ def main():
         (A[0] * (1.0 + 1e-5 * v), *A[1:]) for v in range(4)
     ]
 
+    import jax
+
+    @jax.jit
+    def covs_fn(p, m):
+        return gicp_ops.estimate_covariances(
+            p, m, cfg.k_correspondences, cfg.knn_max_distance,
+            cfg.regularization).covs
+
+    src_c = covs_fn(A[0], msk)
+    tgt_c = covs_fn(A[1], msk)
+
     def run(a):
         res = gicp_ops.gicp_align(a[0], a[1], a[2], a[3], a[4], cfg)
-        return res.T
+        return res.T, res.iterations, res.converged
 
-    T = run(A)  # compile + warm
-    print(f"# converged T[0,3]={float(T[0, 3]):.4f} (expect ~{t[0]})",
-          file=sys.stderr)
-    for r in range(args.rounds):
-        rtt = bench.measure_rtt()
-        ts = []
-        for i in range(args.iters):
-            t0 = time.perf_counter()
-            Tt = run(variants[i % 4])
-            float(Tt[0, 3])
-            ts.append(time.perf_counter() - t0)
-        dt = max(float(np.median(ts)) - rtt, 0.0)
-        print(f"round {r}: gicp_align {dt*1000:.1f} ms device "
-              f"(rtt {rtt*1000:.1f})")
+    def run_with_covs(a):
+        res = gicp_ops.gicp_align(a[0], a[1], a[2], a[3], a[4], cfg,
+                                  source_covs=src_c, target_covs=tgt_c)
+        return res.T, res.iterations, res.converged
+
+    T, it, cv = run(A)  # compile + warm
+    print(f"# converged={bool(cv)} iters={int(it)} "
+          f"T[0,3]={float(T[0, 3]):.4f} (expect ~{t[0]})", file=sys.stderr)
+    progs = [("align_full", run, variants),
+             ("covs_only", lambda a: (covs_fn(a[0], msk), 0, 0), variants),
+             ("align_covs_given", run_with_covs, variants)]
+    for name, fn, vs in progs:
+        fn(vs[0])
+        for r in range(args.rounds):
+            rtt = bench.measure_rtt()
+            ts = []
+            for i in range(args.iters):
+                t0 = time.perf_counter()
+                out = fn(vs[i % 4])
+                float(np.asarray(out[0]).ravel()[0])
+                ts.append(time.perf_counter() - t0)
+            dt = max(float(np.median(ts)) - rtt, 0.0)
+            print(f"round {r}: {name} {dt*1000:.1f} ms device "
+                  f"(rtt {rtt*1000:.1f})")
 
 
 if __name__ == "__main__":
