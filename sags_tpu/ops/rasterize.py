@@ -1242,10 +1242,14 @@ def derive_windowed_budgets(
                   P_all)
     ring_need = min(int(round(int(occ["n_ring"]) * margin)) + 1,
                     max(n_copies_static, 1))
+    # R == 3 has no big tier: the single mid tier admits EVERY rect>2 row
+    # (`_prepare_windowed`'s beyond2 selection), so its budget must hold the
+    # rect>3 population too or it persistently overflows.
+    mid_need = int(occ["n_mid"]) + (int(occ["n_big"]) if R == 3 else 0)
     return _dc.replace(
         cfg,
         windowed_store_fracs=tuple(fracs),
-        windowed_mid_frac=(min(_need(occ["n_mid"]), P) + 0.5) / P,
+        windowed_mid_frac=(min(_need(mid_need), P) + 0.5) / P,
         windowed_big_frac=(min(_need(occ["n_big"]), P) + 0.5) / P,
         windowed_copy_ring_frac=(
             min((ring_need + 0.5) / n_copies_static, 1.0)

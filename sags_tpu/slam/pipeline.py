@@ -198,6 +198,16 @@ class SLAMPipeline:
         if self._count_ub + incoming <= cap:
             self._count_ub += incoming
             return
+        # The per-frame bound assumes every budgeted point lands, but
+        # add_points only consumes sum(mask) valid points — on sparse scans
+        # the bound drifts far above the real count and capacity would
+        # double all the way to max_capacity. Growth already pays a
+        # recompile, so one resync fetch here is free and keeps the
+        # per-frame path fetch-free.
+        self._count_ub = int(np.asarray(self.state.map.count))
+        if self._count_ub + incoming <= cap:
+            self._count_ub += incoming
+            return
         new_cap = cap
         need = self._count_ub + incoming
         while new_cap < need and new_cap < self.cfg.map.max_capacity:
@@ -559,6 +569,11 @@ class SLAMPipeline:
         for i, frame in enumerate(frames):
             if i % every:
                 continue
+            if poses is not None and i >= len(poses):
+                # a cfg.timeout_s silence shutdown tracks fewer frames than
+                # the stream holds — report metrics over the frames that
+                # were actually tracked instead of crashing the eval
+                break
             pose_i = (np.asarray(poses[i]) if poses is not None
                       else np.asarray(frame.pose))
             cam = self._camera_for(frame, pose_i)
