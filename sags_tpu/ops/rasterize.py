@@ -87,7 +87,10 @@ class RenderOutput(NamedTuple):
     alpha: jax.Array  # [1,H,W] accumulated alpha
     final_T: jax.Array  # [H,W]
     radii: jax.Array  # [P] int32
-    is_used: jax.Array  # [P] bool (`forward.cu:274`)
+    # [P] bool — contributed to ≥1 pixel (`forward.cu:274` render-kernel
+    # semantics; cfg.is_used_mode="in_frustum" opts into the cheaper
+    # preprocess-validity superset)
+    is_used: jax.Array
     n_binned: jax.Array
     overflow_rect: jax.Array
     overflow_tile: jax.Array
@@ -1503,6 +1506,74 @@ def _composite_windowed_sharded(
     return acc[:NT], T[:NT]
 
 
+def contribution_mask(
+    pre: "Preprocessed", tiles_x: int, tiles_y: int, cfg: RasterizeConfig
+) -> jax.Array:
+    """Per-Gaussian `is_used` with the reference RENDER-kernel semantics
+    (`forward.cu:274`): True iff the Gaussian actually contributes to ≥1
+    pixel — passes the per-pixel alpha gate AND arrives while the pixel's
+    transmittance is above the early-exit floor. A merely in-frustum but
+    fully-occluded (or everywhere-sub-alpha) Gaussian is False.
+
+    Backend-independent: runs its own classic binning plus a feature-free
+    transmittance scan (the compositing math of `_composite_core_xla` minus
+    the feature matmul). Under jit the whole pass is dead-code-eliminated
+    when `is_used` isn't consumed, so render/training paths that ignore it
+    pay nothing."""
+    table, counts, _, _, _ = bin_gaussians(pre, tiles_x, tiles_y, cfg)
+    NT, K_TILE = table.shape
+    K = cfg.chunk
+    n_chunks = K_TILE // K
+    PIX = cfg.tile * cfg.tile
+    P = pre.mx.shape[0]
+    px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
+
+    sg = jax.lax.stop_gradient
+    gid_c = jnp.maximum(table, 0).reshape(NT, n_chunks, K).transpose(1, 0, 2)
+    vm_c = (table >= 0).reshape(NT, n_chunks, K).transpose(1, 0, 2)
+    cols = sg(jnp.stack(
+        [pre.mx, pre.my, pre.ca, pre.cb, pre.cc, pre.opacity], axis=-1))
+    max_count = jnp.max(counts)
+
+    def chunk_body(carry, xs):
+        T_eff, used = carry
+        gids, vmask, c_idx = xs
+
+        def compute(op):
+            T_eff, used = op
+            Gc = cols[gids]  # [NT,K,6]
+            dx = Gc[..., 0][:, None, :] - px[:, :, None]
+            dy = Gc[..., 1][:, None, :] - py[:, :, None]
+            g_ca = Gc[..., 2][:, None, :]
+            g_cb = Gc[..., 3][:, None, :]
+            g_cc = Gc[..., 4][:, None, :]
+            power = -0.5 * (g_ca * dx * dx + g_cc * dy * dy) - g_cb * dx * dy
+            alpha = jnp.minimum(0.99, Gc[..., 5][:, None, :] * jnp.exp(power))
+            gate = (power <= 0.0) & (alpha >= cfg.alpha_min) & vmask[:, None, :]
+            a = jnp.where(gate, alpha, 0.0)
+            om = 1.0 - a
+            cum = jnp.cumprod(om, axis=-1)
+            T_exc = T_eff[..., None] * jnp.concatenate(
+                [jnp.ones_like(cum[..., :1]), cum[..., :-1]], axis=-1
+            )
+            m = gate & (T_exc * om >= cfg.transmittance_min)
+            slot_used = jnp.any(m, axis=1)  # [NT,K] — any pixel
+            used = used.at[gids].max(slot_used)  # max-with-False = no-op
+            T_eff = T_eff * jnp.prod(jnp.where(m, om, 1.0), axis=-1)
+            return T_eff, used
+
+        return jax.lax.cond(
+            c_idx * K < max_count, compute, lambda op: op, (T_eff, used)
+        ), None
+
+    (T_final, used), _ = jax.lax.scan(
+        chunk_body,
+        (jnp.ones((NT, PIX), jnp.float32), jnp.zeros((P,), bool)),
+        (gid_c, vm_c, jnp.arange(n_chunks)),
+    )
+    return used
+
+
 def _composite_core_xla(
     G: jax.Array,
     table: jax.Array,
@@ -1740,6 +1811,12 @@ def rasterize(
     alpha_img = _untile(acc_alpha[..., None], tiles_x, tiles_y, cfg.tile, W, H)
     T_img = _untile(T_final[..., None], tiles_x, tiles_y, cfg.tile, W, H)
 
+    if cfg.is_used_mode == "contrib":
+        # reference semantics (`forward.cu:274`): contributed to ≥1 pixel.
+        # DCE'd under jit when the consumer ignores is_used.
+        is_used = contribution_mask(pre, tiles_x, tiles_y, cfg)
+    else:  # "in_frustum": preprocess validity only (cheaper, superset)
+        is_used = pre.valid
     return RenderOutput(
         color=color_img.transpose(2, 0, 1),
         depth=depth_img.transpose(2, 0, 1),
@@ -1747,7 +1824,7 @@ def rasterize(
         alpha=alpha_img.transpose(2, 0, 1),
         final_T=T_img[..., 0],
         radii=pre.radius,
-        is_used=pre.valid,
+        is_used=is_used,
         n_binned=n_binned,
         overflow_rect=ov_rect,
         overflow_tile=ov_tile,

@@ -224,10 +224,46 @@ def test_final_transmittance(rendered):
 def test_radii_and_is_used(rendered, scene):
     out, (_, _, _, _, pre) = rendered
     means, scales, quats, opac, colors, objs, cam = scene
-    np.testing.assert_array_equal(np.asarray(out.is_used), pre["valid"])
+    # contrib-mode is_used ⊆ in-frustum validity, and in this unoccluded
+    # random scene the overwhelming majority of valid Gaussians contribute
+    used = np.asarray(out.is_used)
+    assert not np.any(used & ~pre["valid"])
+    assert used.sum() > 0.5 * pre["valid"].sum()
     got_r = np.asarray(out.radii)
     want_r = np.where(pre["valid"], pre["radius"], 0).astype(np.int32)
     np.testing.assert_allclose(got_r, want_r, atol=1)  # fp32 vs fp64 ceil boundary
+
+
+def test_is_used_false_for_occluded_gaussian():
+    """Reference render-kernel semantics (`forward.cu:274`): a Gaussian that
+    is inside the frustum but hidden behind an opaque splat contributes to no
+    pixel and must report is_used=False (the pre-round-5 `in_frustum`
+    behavior returned True — a silently different superset)."""
+    from sags_tpu.core.camera import make_camera
+
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                      64, 64, 1.0, 1.0)
+    # Three stacked near-opaque front splats: alpha caps at 0.99 per splat,
+    # so the center-region transmittance behind them is ≤ 0.01³ = 1e-6 <
+    # transmittance_min. The rear splat is tiny (≈2 px) and sits entirely
+    # inside that saturated region.
+    means = jnp.asarray([[0, 0, 1.5], [0, 0, 2.0], [0, 0, 2.5],
+                         [0, 0, 4.0]], jnp.float32)
+    scales = jnp.asarray([[0.8] * 3, [0.8] * 3, [0.8] * 3,
+                          [0.05] * 3], jnp.float32)
+    quats = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (4, 1))
+    opac = jnp.asarray([0.9999, 0.9999, 0.9999, 0.9], jnp.float32)
+    colors = jnp.ones((4, 3), jnp.float32)
+    out = rz.rasterize(means, opac, scales, quats, cam, CFG, colors=colors)
+    used = np.asarray(out.is_used)
+    assert used[0], "front splat must contribute"
+    assert not used[3], "occluded splat must NOT count as used"
+    # the opt-out keeps the cheap superset semantics
+    import dataclasses
+    out2 = rz.rasterize(means, opac, scales, quats, cam,
+                        dataclasses.replace(CFG, is_used_mode="in_frustum"),
+                        colors=colors)
+    assert np.asarray(out2.is_used).all()
 
 
 def test_no_overflow_in_small_scene(rendered):
