@@ -173,6 +173,15 @@ class RasterizeConfig:
     # the per-pixel alpha/transmittance math stays full fp32 either way).
     # Forward-only: gradients always recompute at fp32-HIGHEST.
     feature_precision: str = "highest"
+    # `RenderOutput.is_used` semantics:
+    # "contrib" (default, reference parity `forward.cu:274`) = the Gaussian
+    # contributed to ≥1 pixel — passes the alpha gate while the pixel's
+    # transmittance is above the early-exit floor; a fully-occluded Gaussian
+    # is False. Computed by a feature-free transmittance pass that XLA
+    # dead-code-eliminates whenever is_used isn't consumed.
+    # "in_frustum" = preprocess validity only (a superset; the pre-round-5
+    # behavior, cheaper when is_used IS consumed eagerly).
+    is_used_mode: str = "contrib"
     # Where the windowed path's per-tile depth ordering happens:
     # "host" = global pair sort + table build in the XLA program (default;
     # differentiable via the windowed/XLA backwards),
@@ -334,6 +343,15 @@ class SLAMConfig:
     lidar_axes: bool = False  # FAST-LIVO2 LiDAR→camera pose fix (`:309-315`)
     post_train_iters: int = 1000  # (`:938-1013`)
     seed: int = 0
+    # Fused per-frame front-end (slam/fused.py): tracking + map growth +
+    # training in ONE XLA program per frame, host-read scalars in a
+    # device-resident ring buffer fetched every `metrics_interval` frames —
+    # the per-frame loop then issues one dispatch and no value fetches, so
+    # throughput is bounded by device compute, not host↔device RTT.
+    # Applies to the gicp/vgicp/gicp_map/none tracking backends; esikf
+    # keeps the per-module path.
+    fused_frontend: bool = True
+    metrics_interval: int = 10
 
     def replace(self, **kw) -> "SLAMConfig":
         return dataclasses.replace(self, **kw)

@@ -34,9 +34,17 @@ class DeviceFrame(NamedTuple):
     # True = `points` holds the SENSOR-frame scan (pose-less frame): the
     # consumer must transform by its pose ESTIMATE before map registration
     sensor_frame: bool = False
+    # Tracker inputs, staged to their own (scan_budget) shape so the fused
+    # front-end consumes device arrays directly: frame.scan when present,
+    # else the world points un-projected through the carried pose (the
+    # legacy `pipeline._track` host math, now done in the producer thread
+    # so it overlaps compute). None when scan_budget wasn't requested.
+    scan: Optional[jax.Array] = None  # [S,3] sensor-frame
+    scan_mask: Optional[jax.Array] = None  # [S]
 
 
-def stage_frame(frame: Frame, point_budget: int, device=None) -> DeviceFrame:
+def stage_frame(frame: Frame, point_budget: int, device=None,
+                scan_budget: Optional[int] = None) -> DeviceFrame:
     # A pose-less frame stages its sensor scan in the points slot — the
     # upload still overlaps compute; only the (cheap, on-device) world
     # transform waits for the tracker's estimate.
@@ -50,6 +58,22 @@ def stage_frame(frame: Frame, point_budget: int, device=None) -> DeviceFrame:
     cols[:n] = frame.colors[:n]
     msk[:n] = True
     put = lambda x: jax.device_put(x, device)
+    scan_d = scan_mask_d = None
+    if scan_budget is not None:
+        if frame.scan is not None:
+            sc = np.asarray(frame.scan, np.float32)
+        elif frame.pose is not None:
+            Tw = np.asarray(frame.pose, np.float32)
+            sc = ((np.asarray(frame.points, np.float32) - Tw[:3, 3])
+                  @ Tw[:3, :3])
+        else:
+            sc = np.zeros((0, 3), np.float32)
+        ns = min(len(sc), scan_budget)
+        scan_p = np.zeros((scan_budget, 3), np.float32)
+        scan_p[:ns] = sc[:ns]
+        smsk = np.zeros(scan_budget, bool)
+        smsk[:ns] = True
+        scan_d, scan_mask_d = put(jnp.asarray(scan_p)), put(jnp.asarray(smsk))
     return DeviceFrame(
         image=put(jnp.asarray(frame.image)),
         points=put(jnp.asarray(pts)),
@@ -59,6 +83,8 @@ def stage_frame(frame: Frame, point_budget: int, device=None) -> DeviceFrame:
                  else jnp.asarray(frame.pose)),
         timestamp=frame.timestamp,
         sensor_frame=sensor,
+        scan=scan_d,
+        scan_mask=scan_mask_d,
     )
 
 
@@ -79,11 +105,13 @@ class FrameQueue:
 
     def __init__(self, frames: Iterable[Frame], point_budget: int,
                  prefetch: int = 2, device=None,
-                 timeout_s: Optional[float] = None):
+                 timeout_s: Optional[float] = None,
+                 scan_budget: Optional[int] = None):
         import time
 
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._point_budget = point_budget
+        self._scan_budget = scan_budget
         self._device = device
         self._timeout_s = timeout_s
         self.timed_out = False
@@ -111,7 +139,8 @@ class FrameQueue:
                     break
                 self._waiting_source = False
                 self._last_rx = time.monotonic()
-                item = (stage_frame(f, self._point_budget, self._device), f)
+                item = (stage_frame(f, self._point_budget, self._device,
+                                    scan_budget=self._scan_budget), f)
                 if not self._put_unless_stopped(item):
                     return  # consumer timed out; don't park forever on put
         except BaseException as e:  # surfaced on the consumer side

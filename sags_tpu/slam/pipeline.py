@@ -29,6 +29,7 @@ from sags_tpu.io.queue import DeviceFrame, FrameQueue
 from sags_tpu.mapping import gaussian_map as gm
 from sags_tpu.ops import gicp as gicp_ops
 from sags_tpu.semantics.association import DeviceInstanceAssociator
+from sags_tpu.slam import fused as fused_mod
 from sags_tpu.slam import step as slam_step_mod
 
 
@@ -103,6 +104,15 @@ class SLAMPipeline:
         # add could hit capacity, with no per-frame device fetch. Lazily
         # seeded from the device count so resumed states account correctly.
         self._count_ub: Optional[int] = None
+        # Fused front-end (slam/fused.py): ONE XLA program per frame, host
+        # scalars in a device metrics ring fetched every metrics_interval
+        # frames. Built lazily on the first frame (needs H,W).
+        self._fused: Optional[fused_mod.FusedFrontend] = None
+        self.track: Optional[fused_mod.TrackState] = None
+        self._zeros_objects = None
+        self._fused_first = True  # no previous scan yet
+        self._host_mi = 0  # host mirror of metrics rows written
+        self._drained_mi = 0  # rows already fetched/processed
 
     # ------------------------------------------------------------------
     def _camera_for(self, frame: Frame, pose: np.ndarray) -> Camera:
@@ -368,6 +378,38 @@ class SLAMPipeline:
         )
         return jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(p)
 
+    def _rederive_windowed(self, r):
+        """Size every windowed-path buffer from ONE occupancy probe of the
+        current map at the newest keyframe viewpoint (`windowed_occupancy` →
+        `derive_windowed_budgets`) — a single recompile replaces the blind
+        doubling ratchet when a scene shift outruns the budgets. margin=1.2
+        (vs the bench's 1.05) buys headroom against further drift before the
+        next strike. Returns None when there is nothing to probe yet."""
+        if not self.keyframes:
+            return None
+        from sags_tpu.ops import rasterize as rz
+
+        m = self.state.map
+        cam = self.keyframes[-1].camera
+        try:
+            occ_fn = jax.jit(lambda a, b, c, d, act: rz.windowed_occupancy(
+                a, b, c, d, cam, r, active_mask=act))
+            occ = {k: np.asarray(v) for k, v in occ_fn(
+                m.xyz, gm.get_opacity(m), gm.get_scaling(m),
+                gm.get_rotation(m), m.active).items()}
+            derived = rz.derive_windowed_budgets(r, occ, m.capacity,
+                                                 margin=1.2)
+        except Exception:
+            return None  # probe is an optimization; doubling still works
+        return {
+            "windowed_store_fracs": derived.windowed_store_fracs,
+            "windowed_mid_frac": derived.windowed_mid_frac,
+            "windowed_big_frac": derived.windowed_big_frac,
+            "windowed_copy_ring_frac": derived.windowed_copy_ring_frac,
+            "windowed_expand_frac": derived.windowed_expand_frac,
+            "window_blocks": min(derived.window_blocks, 40),  # VMEM bound
+        }
+
     def _maybe_grow_capacity(self, metrics) -> None:
         """Overflow-adaptive render capacities (the reference has no silent
         cap — it sizes `num_rendered` dynamically, `rasterizer_impl.cu:288-294`;
@@ -416,13 +458,26 @@ class SLAMPipeline:
                     r.windowed_big_capacity * 2 if r.windowed_big_capacity
                     else 128
                 )
-        if over["window"] and r.window_blocks < 40:  # VMEM bounds the window
-            kw["window_blocks"] = r.window_blocks + 2
-        if over["big"]:
-            if r.windowed_mid_frac < 1.0:
-                kw["windowed_mid_frac"] = min(r.windowed_mid_frac * 2, 1.0)
-            if r.windowed_big_frac < 1.0:
-                kw["windowed_big_frac"] = min(r.windowed_big_frac * 2, 1.0)
+        if over["window"] or over["big"]:
+            # Probe-derived budgets: size every windowed buffer from the
+            # scene itself in ONE recompile (round-4 VERDICT #8) instead of
+            # ratcheting each knob by doubling across repeated strikes.
+            derived = self._rederive_windowed(
+                dataclasses.replace(r, **kw) if kw else r)
+            if derived is not None and any(
+                    getattr(r, k) != v for k, v in derived.items()):
+                kw.update(derived)
+            else:  # nothing to probe / probe says budgets already match the
+                # probed view (the overflow came elsewhere): doubling fallback
+                if over["window"] and r.window_blocks < 40:  # VMEM bound
+                    kw["window_blocks"] = r.window_blocks + 2
+                if over["big"]:
+                    if r.windowed_mid_frac < 1.0:
+                        kw["windowed_mid_frac"] = min(
+                            r.windowed_mid_frac * 2, 1.0)
+                    if r.windowed_big_frac < 1.0:
+                        kw["windowed_big_frac"] = min(
+                            r.windowed_big_frac * 2, 1.0)
         self._overflow_strikes = 0
         if not kw:
             return  # every relevant knob is at its cap — don't rebuild
@@ -430,6 +485,10 @@ class SLAMPipeline:
         self.step_fn = slam_step_mod.make_slam_step(
             self.cfg, donate=False, mesh=self.mesh
         )
+        if self._fused is not None:  # fused programs close over cfg too
+            self._fused = fused_mod.FusedFrontend(
+                self.cfg, self._fused.H, self._fused.W,
+                sensor_frame=self._fused.sensor_frame, mesh=self.mesh)
 
     def _make_objects(self, frame: Frame, pose: np.ndarray):
         """SAM mask + cross-frame ID association. The association runs ON
@@ -454,6 +513,119 @@ class SLAMPipeline:
             used_labels=getattr(self.mask_generator, "used_labels", None),
         )
 
+    # -- fused front-end (slam/fused.py) --------------------------------
+    @property
+    def _use_fused(self) -> bool:
+        return (self.cfg.fused_frontend
+                and self.cfg.tracking.backend in fused_mod.FusedFrontend.MODES)
+
+    def _fused_setup(self, df, frame: Frame) -> None:
+        H, W = frame.image.shape[1:]
+        self._fused = fused_mod.FusedFrontend(
+            self.cfg, H, W, sensor_frame=df.sensor_frame, mesh=self.mesh)
+        if self.track is None:
+            self.track = fused_mod.init_track_state(
+                self.cfg.tracking.max_points,
+                max(self.cfg.metrics_interval, 4))
+        if self._zeros_objects is None:
+            self._zeros_objects = jnp.zeros((H, W), jnp.int32)
+
+    def _frame_fused(self, df, frame: Frame, frame_idx: int):
+        """One frame through the fused front-end: ≤2 dispatches (1 in the
+        common replay case), ZERO value fetches in steady state. Returns the
+        DEVICE pose estimate."""
+        cfg = self.cfg
+        if self._fused is None:
+            self._fused_setup(df, frame)
+        self._maybe_grow_map(self.point_budget)
+        mode = cfg.tracking.backend
+        anchored = self._map_anchored if mode == "gicp_map" else False
+        first = self._fused_first and mode != "none"
+        scan, smask = df.scan, df.scan_mask
+        if scan is None:  # "none" backend may stage without a scan budget
+            scan = self.track.prev_scan
+            smask = self.track.prev_mask
+        common = (self.state, self.track, scan, smask,
+                  df.points, df.colors, df.mask, df.pose)
+
+        if frame_idx % cfg.keyframes.keyframe_freq == 0:
+            if self.mask_generator is not None:
+                # the mask model + ID association need the pose between
+                # tracking and training: 2 programs on (rare) keyframes
+                fn = self._fused.track_add(anchored, first, write_row=False)
+                self.state, self.track, T, cam = fn(*common)
+                objects = self._make_objects(frame, T)
+                tfn = self._fused.train_only()
+                self.state, self.track = tfn(
+                    self.state, self.track, cam, df.image, objects)
+            else:
+                objects = self._zeros_objects
+                fn = self._fused.track_add_train_self(anchored, first)
+                self.state, self.track, T, cam = fn(*common, df.image,
+                                                    objects)
+            self.keyframes.append(Keyframe(
+                camera=cam, image=df.image,
+                objects=jnp.asarray(objects, jnp.int32), pose=T))
+            if len(self.keyframes) > cfg.keyframes.window:
+                self.keyframes.pop(0)
+        elif cfg.keyframes.replay and self.keyframes:
+            kf = self.keyframes[self._kf_rng.integers(len(self.keyframes))]
+            fn = self._fused.track_add_train_stored(anchored)
+            self.state, self.track, T = fn(*common, kf.camera, kf.image,
+                                           kf.objects)
+        else:
+            fn = self._fused.track_add(anchored, first, write_row=True)
+            self.state, self.track, T, _ = fn(*common)
+        self._fused_first = False
+        self._host_mi += 1
+
+        # thin-map anchoring probe: one scalar fetch per frame ONLY until
+        # the monotone predicate flips (then never again)
+        if mode == "gicp_map" and not self._map_anchored:
+            M = self.track.metrics.shape[0]
+            idx = (self._host_mi - 1) % M
+            n_sel = int(np.asarray(
+                self.track.metrics[idx, fused_mod.MET_N_TRACKABLE]))
+            if n_sel >= 64:
+                self._map_anchored = True
+        if self._host_mi - self._drained_mi >= cfg.metrics_interval:
+            self._drain_metrics()
+        return T
+
+    def _train_once_fused(self, kf: Keyframe):
+        """Post-training iteration through the fused metrics plumbing."""
+        tfn = self._fused.train_only()
+        self.state, self.track = tfn(
+            self.state, self.track, kf.camera, kf.image, kf.objects)
+        self._host_mi += 1
+        if self._host_mi - self._drained_mi >= self.cfg.metrics_interval:
+            self._drain_metrics()
+
+    def _drain_metrics(self) -> None:
+        """ONE fetch of the device metrics ring → host loss log + overflow
+        adaptation for every frame since the last drain."""
+        k = self._host_mi - self._drained_mi
+        if k <= 0 or self.track is None:
+            return
+        M = self.track.metrics.shape[0]
+        assert k <= M, (k, M)  # drain cadence never outruns the ring
+        buf = np.asarray(self.track.metrics)
+        start = self._drained_mi % M
+        for j in range(k):
+            r = buf[(start + j) % M]
+            if r[fused_mod.MET_TRAINED] > 0.5:
+                self.losses.append(float(r[fused_mod.MET_LOSS]))
+                self.train_iter += 1
+                self._maybe_grow_capacity(_HostMetrics(
+                    loss=float(r[fused_mod.MET_LOSS]),
+                    n_binned=int(r[fused_mod.MET_N_BINNED]),
+                    overflow_tile=int(r[fused_mod.MET_OV_TILE]),
+                    overflow_rect=int(r[fused_mod.MET_OV_RECT]),
+                    overflow_window=int(r[fused_mod.MET_OV_WINDOW]),
+                    overflow_big=int(r[fused_mod.MET_OV_BIG]),
+                ))
+        self._drained_mi = self._host_mi
+
     def _train_once(self, kf: Keyframe):
         self.state, metrics = self.step_fn(self.state, kf.camera, kf.image, kf.objects)
         # ONE packed device fetch for everything the host loop reads: six
@@ -477,13 +649,26 @@ class SLAMPipeline:
         topic-silence shutdown, `:652-666`), then post-trains."""
         cfg = self.cfg
         poses_est, poses_gt = [], []
+        scan_budget = (cfg.tracking.max_points
+                       if (self._use_fused
+                           and cfg.tracking.backend != "none") else None)
         q = FrameQueue(frames, self.point_budget, prefetch=2,
-                       timeout_s=cfg.timeout_s)
+                       timeout_s=cfg.timeout_s, scan_budget=scan_budget)
         frame_idx = 0
         frame_times: List[float] = []
 
+        use_fused = self._use_fused
         for df, frame in q:
             t_frame = time.perf_counter()
+            if use_fused:
+                pose = self._frame_fused(df, frame, frame_idx)
+                poses_est.append(pose)
+                poses_gt.append(np.full((4, 4), np.nan, np.float32)
+                                if frame.pose is None
+                                else np.asarray(frame.pose))
+                frame_times.append(time.perf_counter() - t_frame)
+                frame_idx += 1
+                continue
             pose = self._track(frame)
             poses_est.append(pose)
             # pose-less frames have no GT here; callers evaluate ATE against
@@ -528,7 +713,12 @@ class SLAMPipeline:
             if not self.keyframes:
                 break
             kf = self.keyframes[self._kf_rng.integers(len(self.keyframes))]
-            self._train_once(kf)
+            if use_fused and self._fused is not None:
+                self._train_once_fused(kf)
+            else:
+                self._train_once(kf)
+        if use_fused:
+            self._drain_metrics()
 
         # trackers return DEVICE poses (accumulated without per-frame
         # fetches); stack them on device and fetch the whole trajectory in
