@@ -162,11 +162,14 @@ def cmd_run_slam(args):
         lpips_v = None
         lpips_net = None
         eval_overflow = None
-    # steady-state loop rate: median per-frame wall time (the first frames
-    # carry XLA compiles — the wall-clock "fps" includes them, this doesn't)
-    fps_steady = (
-        1.0 / float(np.median(res.frame_times)) if res.frame_times else None
-    )
+    # Steady-state loop rate over the second half of the run (the first
+    # frames carry XLA compiles; wall-clock "fps" includes them). SUM-based:
+    # under the fused front-end most frames only ENQUEUE device work
+    # (sub-ms) and the periodic metrics drain absorbs the wait — the sum of
+    # tail frame times is the honest wall time of the tail, a per-frame
+    # median is not.
+    tail = res.frame_times[len(res.frame_times) // 2:]
+    fps_steady = (len(tail) / max(sum(tail), 1e-9)) if tail else None
     print(
         json.dumps(
             {

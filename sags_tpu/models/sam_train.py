@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -167,8 +167,16 @@ def save_fp16(sam: SAM, path: str = WEIGHTS_PATH):
         pickle.dump(half, f)
 
 
-def load_pretrained(sam: SAM, path: str = WEIGHTS_PATH) -> bool:
-    """Load shipped fp16 weights (as fp32) if present. Returns success."""
+def load_pretrained(sam: SAM, path: Optional[str] = None) -> bool:
+    """Load SAM weights (fp16 on disk → fp32) if present. Returns success.
+
+    Resolution order mirrors `SAGS_LPIPS_WEIGHTS`: an explicit `path` wins;
+    else the `SAGS_SAM_WEIGHTS` env var (drop-in point for EXTERNAL
+    real-photo-trained weights — the reference loads its photo-pretrained
+    checkpoints from absolute paths, `scripts/gaussian_splatting.py:136-144`);
+    else the shipped synthetic-trained `models/weights/sam_synth.pkl`."""
+    if path is None:
+        path = os.environ.get("SAGS_SAM_WEIGHTS") or WEIGHTS_PATH
     if not os.path.exists(path):
         return False
     with open(path, "rb") as f:

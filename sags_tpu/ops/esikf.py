@@ -139,10 +139,13 @@ def scan_update(
     Kalman gain in information form so the solve is 18×18."""
     N = points_body.shape[0]
 
-    # surfel planes: normal = smallest-eigenvector of voxel covariance
-    evals, evecs = jnp.linalg.eigh(vm.covs)
-    normals_all = evecs[..., 0]  # [V,3]
-    planarity_all = 1.0 - evals[:, 0] / jnp.maximum(evals[:, 1], 1e-9)
+    # surfel planes: normal = smallest-eigenvector of voxel covariance.
+    # sym_eig3 is DESCENDING (vs eigh's ascending): smallest is column 2.
+    from sags_tpu.ops.gicp import sym_eig3
+
+    evals, evecs = sym_eig3(vm.covs)
+    normals_all = evecs[..., 2]  # [V,3]
+    planarity_all = 1.0 - evals[:, 2] / jnp.maximum(evals[:, 1], 1e-9)
     offsets = jnp.asarray(NEIGHBOR_OFFSETS["direct7"], jnp.int32)  # [7,3]
 
     def best_plane(q_w):

@@ -32,6 +32,7 @@ from sags_tpu.ops.gicp import (
     lookup_voxels,
     lsq_align,
     robust_inv3,
+    sym_eig3,
 )
 
 _HI = jax.lax.Precision.HIGHEST
@@ -45,9 +46,10 @@ def build_ndt_voxel_map(
     vm = build_voxel_map(points, outer, mask, resolution, max_voxels)
     # ADDITIVE finalize gave mean=E[p], cov=E[ppᵀ]; scatter = E[ppᵀ] − μμᵀ
     cov = vm.covs - jnp.einsum("ni,nj->nij", vm.means, vm.means, precision=_HI)
-    # eigenvalue floor (NDT's degenerate-voxel guard)
-    evals, evecs = jnp.linalg.eigh(cov)
-    floor = jnp.maximum(evals[..., 2:3] * 1e-2, 1e-9)
+    # eigenvalue floor (NDT's degenerate-voxel guard); closed-form sym_eig3
+    # (descending) replaces the TPU-hostile iterative eigh
+    evals, evecs = sym_eig3(cov)
+    floor = jnp.maximum(evals[..., 0:1] * 1e-2, 1e-9)
     evals = jnp.maximum(evals, floor)
     cov = jnp.einsum("nij,nj,nkj->nik", evecs, evals, evecs, precision=_HI)
     return vm._replace(covs=cov)

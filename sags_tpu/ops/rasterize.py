@@ -96,6 +96,11 @@ class RenderOutput(NamedTuple):
     overflow_tile: jax.Array
     overflow_window: jax.Array = jnp.int32(0)  # windowed-path span overflow
     overflow_big: jax.Array = jnp.int32(0)  # windowed big-tier buffer overflow
+    # deepest per-tile queue actually used (clamped at tile_capacity): the
+    # overflow adaptation's SHRINK signal — a transient startup overflow
+    # grows tile_capacity, and a sustained peak ≪ capacity lets the
+    # pipeline shrink it back (the grown compositor costs real time)
+    tile_peak: jax.Array = jnp.int32(0)
 
 
 # ---------------------------------------------------------------------------
@@ -1767,12 +1772,14 @@ def rasterize(
         )
         ov_tile = jnp.sum(jnp.maximum(nv - cfg.tile_capacity, 0))
         n_binned = jnp.sum(nv)
+        tile_peak = jnp.max(jnp.minimum(nv, cfg.tile_capacity))
         px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
     elif use_windowed:
         (G_s, table, table_local, counts, bases, dests, nblks,
          n_binned, ov_rect, ov_tile, ov_win, ov_big) = _prepare_windowed(
             pre, obj_features, tiles_x, tiles_y, cfg
         )
+        tile_peak = jnp.max(counts)
         if mesh is not None:
             accum, T_final = _composite_windowed_sharded(
                 G_s, table, table_local, counts, bases, dests, nblks,
@@ -1788,6 +1795,7 @@ def rasterize(
         table, counts, n_binned, ov_rect, ov_tile = bin_gaussians(
             pre, tiles_x, tiles_y, cfg
         )
+        tile_peak = jnp.max(counts)
         G = _pack_gaussians(pre, obj_features)
         accum, T_final, px, py = composite(
             table, counts, G, n_feat, tiles_x, tiles_y, cfg, mesh=mesh, fused=fused
@@ -1830,6 +1838,7 @@ def rasterize(
         overflow_tile=ov_tile,
         overflow_window=ov_win,
         overflow_big=ov_big,
+        tile_peak=tile_peak.astype(jnp.int32),
     )
 
 

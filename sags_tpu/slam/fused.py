@@ -58,7 +58,8 @@ MET_OV_WINDOW = 4
 MET_OV_BIG = 5
 MET_N_TRACKABLE = 6
 MET_TRAINED = 7
-MET_COLS = 8
+MET_TILE_PEAK = 8
+MET_COLS = 9
 
 
 class TrackState(NamedTuple):
@@ -68,6 +69,10 @@ class TrackState(NamedTuple):
     prev_scan: jax.Array  # [N,3] previous scan (next align's target)
     prev_mask: jax.Array  # [N]
     prev_covs: jax.Array  # [N,3,3] previous scan's surfel covariances
+    # [4,4] last scan-to-scan delta — constant-velocity warm start for the
+    # next align (smooth motion converges in 2-4 LM outer iterations
+    # instead of ~20 from identity)
+    prev_delta: jax.Array
     frame_idx: jax.Array  # int32 — keyframe_id for map growth
     metrics: jax.Array  # [M, MET_COLS] rolling metrics rows
     mi: jax.Array  # int32 — monotone metrics write count
@@ -79,6 +84,7 @@ def init_track_state(n_scan: int, n_metrics: int) -> TrackState:
         prev_scan=jnp.zeros((n_scan, 3), jnp.float32),
         prev_mask=jnp.zeros((n_scan,), bool),
         prev_covs=jnp.tile(jnp.eye(3, dtype=jnp.float32), (n_scan, 1, 1)),
+        prev_delta=jnp.eye(4, dtype=jnp.float32),
         frame_idx=jnp.zeros((), jnp.int32),
         metrics=jnp.zeros((n_metrics, MET_COLS), jnp.float32),
         mi=jnp.zeros((), jnp.int32),
@@ -109,30 +115,37 @@ def _track(state, track: TrackState, scan, smask, pose_in, cfg: SLAMConfig,
     and reused as the next frame's target (`fast_gicp_impl.hpp:380-479`
     runs per input cloud, not per align)."""
     if mode == "none":
-        return pose_in, track.prev_scan, track.prev_mask, track.prev_covs
+        return (pose_in, track.prev_scan, track.prev_mask, track.prev_covs,
+                track.prev_delta)
 
     covs = _estimate_covs(scan, smask, cfg)
     if first:
-        return track.T, scan, smask, covs
+        return track.T, scan, smask, covs, track.prev_delta
 
     if mode == "gicp_map" and anchored:
         tcfg = cfg.tracking
         tgt, tcov, tmask, _ = gm.trackable_subset(
             state.map, tcfg.opacity_threshold, tcfg.max_points
         )
+        # warm start: previous pose composed with the last inter-frame
+        # delta (constant velocity) — the absolute solve then starts a few
+        # millimeters from the answer
         res = gicp_ops.gicp_align(
-            scan, tgt, smask, tmask, track.T, cfg.gicp,
+            scan, tgt, smask, tmask,
+            jnp.matmul(track.T, track.prev_delta), cfg.gicp,
             source_covs=covs, target_covs=tcov,
         )
-        return res.T, scan, smask, covs
+        from sags_tpu.core.transforms import se3_inverse
+        delta = jnp.matmul(se3_inverse(track.T), res.T)
+        return res.T, scan, smask, covs, delta
 
     align = gicp_ops.vgicp_align if mode == "vgicp" else gicp_ops.gicp_align
     res = align(
         scan, track.prev_scan, smask, track.prev_mask,
-        jnp.eye(4, dtype=jnp.float32), cfg.gicp,
+        track.prev_delta, cfg.gicp,
         source_covs=covs, target_covs=track.prev_covs,
     )
-    return jnp.matmul(track.T, res.T), scan, smask, covs
+    return jnp.matmul(track.T, res.T), scan, smask, covs, res.T
 
 
 def _camera_at(T: jax.Array, cfg: SLAMConfig, H: int, W: int) -> Camera:
@@ -170,6 +183,7 @@ def _train_and_metrics(state, track: TrackState, camera, image, objects,
         sm.overflow_big.astype(jnp.float32),
         _n_trackable(state.map, cfg).astype(jnp.float32),
         jnp.float32(trained_flag),
+        sm.tile_peak.astype(jnp.float32),
     ])
     return state, _write_row(track, row)
 
@@ -223,7 +237,7 @@ class FusedFrontend:
         def build():
             def fn(state, track, scan, smask, points, colors, pmask,
                    pose_in, image, objects):
-                T, pscan, pmsk, pcovs = _track(
+                T, pscan, pmsk, pcovs, pdelta = _track(
                     state, track, scan, smask, pose_in, cfg,
                     mode=mode, anchored=anchored, first=first)
                 cam = _camera_at(T, cfg, H, W)
@@ -231,7 +245,7 @@ class FusedFrontend:
                              track.frame_idx, cfg, sensor_frame=sensor)
                 track = track._replace(
                     T=T, prev_scan=pscan, prev_mask=pmsk, prev_covs=pcovs,
-                    frame_idx=track.frame_idx + 1)
+                    prev_delta=pdelta, frame_idx=track.frame_idx + 1)
                 state, track = _train_and_metrics(
                     state, track, cam, image, objects, cfg, mesh)
                 return state, track, T, cam
@@ -247,14 +261,14 @@ class FusedFrontend:
         def build():
             def fn(state, track, scan, smask, points, colors, pmask,
                    pose_in, kf_cam, kf_image, kf_objects):
-                T, pscan, pmsk, pcovs = _track(
+                T, pscan, pmsk, pcovs, pdelta = _track(
                     state, track, scan, smask, pose_in, cfg,
                     mode=mode, anchored=anchored, first=False)
                 state = _add(state, T, points, colors, pmask,
                              track.frame_idx, cfg, sensor_frame=sensor)
                 track = track._replace(
                     T=T, prev_scan=pscan, prev_mask=pmsk, prev_covs=pcovs,
-                    frame_idx=track.frame_idx + 1)
+                    prev_delta=pdelta, frame_idx=track.frame_idx + 1)
                 state, track = _train_and_metrics(
                     state, track, kf_cam, kf_image, kf_objects, cfg, mesh)
                 return state, track, T
@@ -273,7 +287,7 @@ class FusedFrontend:
 
         def build():
             def fn(state, track, scan, smask, points, colors, pmask, pose_in):
-                T, pscan, pmsk, pcovs = _track(
+                T, pscan, pmsk, pcovs, pdelta = _track(
                     state, track, scan, smask, pose_in, cfg,
                     mode=mode, anchored=anchored, first=first)
                 cam = _camera_at(T, cfg, H, W)
@@ -281,7 +295,7 @@ class FusedFrontend:
                              track.frame_idx, cfg, sensor_frame=sensor)
                 track = track._replace(
                     T=T, prev_scan=pscan, prev_mask=pmsk, prev_covs=pcovs,
-                    frame_idx=track.frame_idx + 1)
+                    prev_delta=pdelta, frame_idx=track.frame_idx + 1)
                 if write_row:
                     track = _idle_metrics(state, track, cfg)
                 return state, track, T, cam

@@ -93,6 +93,11 @@ class SLAMPipeline:
         self._track_map = None  # accumulated surfel voxel map for ESIKF
         self._esikf_boot = None  # first scan held for the velocity bootstrap
         self._overflow_strikes = 0
+        # Consecutive overflow-free drains whose tile-queue PEAK stayed well
+        # under tile_capacity: the shrink-back counter (a transient startup
+        # overflow grows the compositor; this un-ratchets it once the map
+        # settles — the grown program costs real time every frame)
+        self._quiet_shrink = 0
         # Host caches of MONOTONE device predicates: once the map is thick
         # enough to anchor / the surfel map is non-empty, it stays so — the
         # per-frame int() fetch (a full tunnel RTT each) is paid only until
@@ -611,11 +616,19 @@ class SLAMPipeline:
         assert k <= M, (k, M)  # drain cadence never outruns the ring
         buf = np.asarray(self.track.metrics)
         start = self._drained_mi % M
+        peak, overflow_free, trained_rows = 0, True, 0
         for j in range(k):
             r = buf[(start + j) % M]
             if r[fused_mod.MET_TRAINED] > 0.5:
                 self.losses.append(float(r[fused_mod.MET_LOSS]))
                 self.train_iter += 1
+                trained_rows += 1
+                peak = max(peak, int(r[fused_mod.MET_TILE_PEAK]))
+                overflow_free &= (
+                    int(r[fused_mod.MET_OV_TILE]) == 0
+                    and int(r[fused_mod.MET_OV_RECT]) == 0
+                    and int(r[fused_mod.MET_OV_WINDOW]) == 0
+                    and int(r[fused_mod.MET_OV_BIG]) == 0)
                 self._maybe_grow_capacity(_HostMetrics(
                     loss=float(r[fused_mod.MET_LOSS]),
                     n_binned=int(r[fused_mod.MET_N_BINNED]),
@@ -624,7 +637,44 @@ class SLAMPipeline:
                     overflow_window=int(r[fused_mod.MET_OV_WINDOW]),
                     overflow_big=int(r[fused_mod.MET_OV_BIG]),
                 ))
+        if trained_rows:
+            self._maybe_shrink_capacity(peak, overflow_free,
+                                        units=trained_rows)
         self._drained_mi = self._host_mi
+
+    def _maybe_shrink_capacity(self, peak: int, overflow_free: bool,
+                               units: int = 1) -> None:
+        """Un-ratchet tile_capacity once the scene settles: a dense startup
+        (thousands of fresh splats in one view) legitimately overflows and
+        grows the compositor, but the grown program costs real time every
+        frame (measured 59 → 92 ms/step at 512 → 1024). After 4 consecutive
+        overflow-free drains whose deepest tile queue fits in a THIRD of
+        the capacity, halve it (one recompile; the 3× hysteresis leaves the
+        halved budget ≥ 1.5× the observed peak, so grow/shrink oscillation
+        needs a real scene shift, not noise)."""
+        r = self.cfg.raster
+        can_shrink = r.tile_capacity > 256  # Pallas lane floor 2x128
+        if not (overflow_free and can_shrink
+                and peak * 3 <= r.tile_capacity):
+            self._quiet_shrink = 0
+            return
+        # counted in quiet TRAINED FRAMES regardless of caller (the fused
+        # drain passes its batch size, the legacy path 1 per frame)
+        self._quiet_shrink += max(units, 1)
+        if self._quiet_shrink < 4 * max(self.cfg.metrics_interval, 1):
+            return
+        self._quiet_shrink = 0
+        new_cap = max(256, r.tile_capacity // 2)
+        if new_cap == r.tile_capacity:
+            return
+        self.cfg = self.cfg.replace(
+            raster=dataclasses.replace(r, tile_capacity=new_cap))
+        self.step_fn = slam_step_mod.make_slam_step(
+            self.cfg, donate=False, mesh=self.mesh)
+        if self._fused is not None:
+            self._fused = fused_mod.FusedFrontend(
+                self.cfg, self._fused.H, self._fused.W,
+                sensor_frame=self._fused.sensor_frame, mesh=self.mesh)
 
     def _train_once(self, kf: Keyframe):
         self.state, metrics = self.step_fn(self.state, kf.camera, kf.image, kf.objects)
@@ -634,11 +684,13 @@ class SLAMPipeline:
         vals = np.asarray(_pack_metrics(metrics))
         self.losses.append(float(vals[0]))
         self.train_iter += 1
+        overflow = [int(vals[i]) for i in (2, 3, 4, 5)]
         self._maybe_grow_capacity(_HostMetrics(
             loss=float(vals[0]), n_binned=int(vals[1]),
-            overflow_tile=int(vals[2]), overflow_rect=int(vals[3]),
-            overflow_window=int(vals[4]), overflow_big=int(vals[5]),
+            overflow_tile=overflow[0], overflow_rect=overflow[1],
+            overflow_window=overflow[2], overflow_big=overflow[3],
         ))
+        self._maybe_shrink_capacity(int(vals[6]), all(o == 0 for o in overflow))
         return metrics
 
     # ------------------------------------------------------------------
@@ -806,7 +858,7 @@ class _HostMetrics:
 
 @jax.jit
 def _pack_metrics(metrics):
-    """Pack the host-read metric scalars into one [6] array → one fetch."""
+    """Pack the host-read metric scalars into one [7] array → one fetch."""
     g = lambda name: getattr(metrics, name, jnp.int32(0))
     return jnp.stack([
         metrics.loss.astype(jnp.float32),
@@ -815,4 +867,5 @@ def _pack_metrics(metrics):
         g("overflow_rect").astype(jnp.float32),
         g("overflow_window").astype(jnp.float32),
         g("overflow_big").astype(jnp.float32),
+        g("tile_peak").astype(jnp.float32),
     ])

@@ -51,6 +51,7 @@ class StepMetrics(NamedTuple):
     overflow_rect: jax.Array
     overflow_window: jax.Array
     overflow_big: jax.Array
+    tile_peak: jax.Array  # deepest per-tile queue used (shrink signal)
 
 
 def init_state(cfg: SLAMConfig, rng: jax.Array, capacity: Optional[int] = None) -> SLAMState:
@@ -224,6 +225,7 @@ def slam_step(
         overflow_rect=out.overflow_rect,
         overflow_window=out.overflow_window,
         overflow_big=out.overflow_big,
+        tile_peak=out.tile_peak,
     )
     return new_state, metrics
 

@@ -267,3 +267,36 @@ def test_cov_divisor_opt_out():
     tk = np.trace(np.asarray(ck), axis1=-2, axis2=-1)
     tr = np.trace(np.asarray(cr), axis1=-2, axis2=-1)
     assert (tr >= tk - 1e-6).all() and (tr > tk + 1e-6).any()
+
+
+def test_sym_eig3_matches_eigh():
+    """Closed-form symmetric 3x3 eigensolver (the TPU-friendly replacement
+    for jnp.linalg.eigh in covariance estimation): eigenvalues match eigh,
+    eigenvectors reconstruct A, basis is a proper rotation."""
+    import jax.numpy as jnp
+
+    from sags_tpu.ops.gicp import sym_eig3
+
+    rng = np.random.default_rng(7)
+    B = rng.normal(size=(512, 3, 3)).astype(np.float32)
+    A = B @ B.transpose(0, 2, 1) + 1e-3 * np.eye(3, dtype=np.float32)
+    # mix in hard cases: isotropic, rank-1, two-equal-eigenvalue
+    A[0] = 2.5 * np.eye(3)
+    v = np.array([1.0, 2.0, -0.5], np.float32)
+    A[1] = np.outer(v, v)
+    A[2] = np.diag([3.0, 3.0, 1.0]).astype(np.float32)
+    evals, evecs = jax.jit(sym_eig3)(jnp.asarray(A))
+    evals, evecs = np.asarray(evals), np.asarray(evecs)
+    ref = np.flip(np.linalg.eigvalsh(A), -1)
+    scale = np.abs(ref).max(-1, keepdims=True) + 1e-6
+    np.testing.assert_allclose(evals / scale, ref / scale, atol=2e-3)
+    # descending order
+    assert (np.diff(evals, axis=-1) <= 1e-4 * scale).all()
+    # reconstruction A = U diag U^T
+    rec = np.einsum("nij,nj,nkj->nik", evecs, evals, evecs)
+    np.testing.assert_allclose(rec, A, atol=5e-3 * float(scale.max()))
+    # orthonormal proper rotation
+    eye = np.einsum("nij,nik->njk", evecs, evecs)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-4)
+    assert (np.linalg.det(evecs) > 0.99).all()

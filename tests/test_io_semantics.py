@@ -411,3 +411,33 @@ def test_frame_queue_timeout_releases_producer():
     assert q.timed_out and len(out) >= 1
     q._thread.join(timeout=3.0)
     assert not q._thread.is_alive()
+
+
+def test_sam_external_weights_env(tmp_path, monkeypatch):
+    """`SAGS_SAM_WEIGHTS` drop-in point (round-4 VERDICT #7): externally
+    trained SAM weights on disk load WITHOUT code changes, mirroring the
+    `SAGS_LPIPS_WEIGHTS` mechanism. The reference loads its photo-pretrained
+    checkpoints from absolute paths (`scripts/gaussian_splatting.py:136-144`)."""
+    import pickle
+
+    import jax
+    import numpy as np
+
+    from sags_tpu.models.sam import SAM
+
+    donor = SAM(img_size=64, embed_dim=32, rng=jax.random.key(123))
+    # perturb so the donor params are distinguishable from a fresh init
+    donor.params = jax.tree.map(lambda x: x + 0.25, donor.params)
+    path = tmp_path / "external_sam.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(jax.tree.map(
+            lambda x: np.asarray(x, np.float16), donor.params), f)
+
+    monkeypatch.setenv("SAGS_SAM_WEIGHTS", str(path))
+    loaded = SAM.pretrained(img_size=64, embed_dim=32, rng=jax.random.key(0))
+    want = jax.tree_util.tree_leaves(donor.params)
+    got = jax.tree_util.tree_leaves(loaded.params)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-3)
+        assert np.asarray(g).dtype == np.float32  # fp16 on disk -> fp32 live
