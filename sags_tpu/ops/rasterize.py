@@ -1210,6 +1210,9 @@ def windowed_occupancy(
         "n_ring": n_ring,
         "store": jnp.stack(n_store) if n_store else jnp.zeros((0,), jnp.int32),
         "window_blocks_need": jnp.max(need_total),
+        # widest live screen rect (tiles): the R the CLASSIC path needs for
+        # complete coverage (its R×R window truncates wider splats)
+        "max_rect_side": jnp.max(jnp.where(pre.valid, maxside, 0)),
     }
 
 

@@ -118,6 +118,12 @@ class SLAMPipeline:
         self._fused_first = True  # no previous scan yet
         self._host_mi = 0  # host mirror of metrics rows written
         self._drained_mi = 0  # rows already fetched/processed
+        # (mi, metrics-array) snapshots: each frame's TrackState.metrics is
+        # a distinct device array, so draining a snapshot LAG frames old
+        # fetches an already-completed chain — no pipeline stall, no device
+        # idle bubble (a fresh-array drain blocks until every queued frame
+        # finishes, ~one RTT of idle per drain through a tunnel)
+        self._met_snaps: List = []
 
     # ------------------------------------------------------------------
     def _camera_for(self, frame: Frame, pose: np.ndarray) -> Camera:
@@ -406,7 +412,7 @@ class SLAMPipeline:
                                                  margin=1.2)
         except Exception:
             return None  # probe is an optimization; doubling still works
-        return {
+        out = {
             "windowed_store_fracs": derived.windowed_store_fracs,
             "windowed_mid_frac": derived.windowed_mid_frac,
             "windowed_big_frac": derived.windowed_big_frac,
@@ -414,6 +420,14 @@ class SLAMPipeline:
             "windowed_expand_frac": derived.windowed_expand_frac,
             "window_blocks": min(derived.window_blocks, 40),  # VMEM bound
         }
+        # the classic path's R×R binning window, sized to the widest live
+        # splat (capped: an 8×8 window bounds expansion cost; wider rects
+        # stay counted in overflow_rect)
+        side = int(occ.get("max_rect_side", 0))
+        R = int(round(r.max_tiles_per_gaussian ** 0.5))
+        if side:
+            out["max_tiles_per_gaussian"] = min(max(side, R), 8) ** 2
+        return out
 
     def _maybe_grow_capacity(self, metrics) -> None:
         """Overflow-adaptive render capacities (the reference has no silent
@@ -529,9 +543,11 @@ class SLAMPipeline:
         self._fused = fused_mod.FusedFrontend(
             self.cfg, H, W, sensor_frame=df.sensor_frame, mesh=self.mesh)
         if self.track is None:
+            # ring must hold a full drain interval PLUS the drain lag (rows
+            # written while the lagged snapshot ages) with margin
             self.track = fused_mod.init_track_state(
                 self.cfg.tracking.max_points,
-                max(self.cfg.metrics_interval, 4))
+                max(self.cfg.metrics_interval, 4) + self._DRAIN_LAG + 2)
         if self._zeros_objects is None:
             self._zeros_objects = jnp.zeros((H, W), jnp.int32)
 
@@ -583,6 +599,7 @@ class SLAMPipeline:
             self.state, self.track, T, _ = fn(*common)
         self._fused_first = False
         self._host_mi += 1
+        self._met_snaps.append((self._host_mi, self.track.metrics))
 
         # thin-map anchoring probe: one scalar fetch per frame ONLY until
         # the monotone predicate flips (then never again)
@@ -593,9 +610,26 @@ class SLAMPipeline:
                 self.track.metrics[idx, fused_mod.MET_N_TRACKABLE]))
             if n_sel >= 64:
                 self._map_anchored = True
-        if self._host_mi - self._drained_mi >= cfg.metrics_interval:
-            self._drain_metrics()
+        self._maybe_drain_lagged()
         return T
+
+    # how many frames a metrics snapshot must age before its chain is
+    # assumed complete (2 frames of device work >> 1 dispatch RTT)
+    _DRAIN_LAG = 2
+
+    def _maybe_drain_lagged(self) -> None:
+        """Drain the snapshot taken exactly `metrics_interval` rows past the
+        last drain, once it is ≥ _DRAIN_LAG frames old — its device chain
+        has long finished, so the fetch is a pure transfer."""
+        interval = self.cfg.metrics_interval
+        target = self._drained_mi + interval
+        if self._host_mi < target + self._DRAIN_LAG:
+            return
+        snap = next((a for mi, a in self._met_snaps if mi == target), None)
+        self._drain_metrics(snapshot=snap, upto_mi=target if snap is not None
+                            else None)
+        self._met_snaps = [(mi, a) for mi, a in self._met_snaps
+                           if mi > self._drained_mi]
 
     def _train_once_fused(self, kf: Keyframe):
         """Post-training iteration through the fused metrics plumbing."""
@@ -603,18 +637,21 @@ class SLAMPipeline:
         self.state, self.track = tfn(
             self.state, self.track, kf.camera, kf.image, kf.objects)
         self._host_mi += 1
-        if self._host_mi - self._drained_mi >= self.cfg.metrics_interval:
-            self._drain_metrics()
+        self._met_snaps.append((self._host_mi, self.track.metrics))
+        self._maybe_drain_lagged()
 
-    def _drain_metrics(self) -> None:
+    def _drain_metrics(self, snapshot=None, upto_mi: Optional[int] = None) -> None:
         """ONE fetch of the device metrics ring → host loss log + overflow
-        adaptation for every frame since the last drain."""
-        k = self._host_mi - self._drained_mi
+        adaptation for every frame since the last drain. With a lagged
+        (snapshot, upto_mi) the fetch reads an already-completed chain."""
+        arr = self.track.metrics if snapshot is None else snapshot
+        end_mi = self._host_mi if upto_mi is None else upto_mi
+        k = end_mi - self._drained_mi
         if k <= 0 or self.track is None:
             return
-        M = self.track.metrics.shape[0]
+        M = arr.shape[0]
         assert k <= M, (k, M)  # drain cadence never outruns the ring
-        buf = np.asarray(self.track.metrics)
+        buf = np.asarray(arr)
         start = self._drained_mi % M
         peak, overflow_free, trained_rows = 0, True, 0
         for j in range(k):
@@ -640,7 +677,7 @@ class SLAMPipeline:
         if trained_rows:
             self._maybe_shrink_capacity(peak, overflow_free,
                                         units=trained_rows)
-        self._drained_mi = self._host_mi
+        self._drained_mi = end_mi
 
     def _maybe_shrink_capacity(self, peak: int, overflow_free: bool,
                                units: int = 1) -> None:
@@ -770,7 +807,8 @@ class SLAMPipeline:
             else:
                 self._train_once(kf)
         if use_fused:
-            self._drain_metrics()
+            self._drain_metrics()  # final sync drain of the remainder
+            self._met_snaps.clear()
 
         # trackers return DEVICE poses (accumulated without per-frame
         # fetches); stack them on device and fetch the whole trajectory in
@@ -792,7 +830,8 @@ class SLAMPipeline:
         )
 
     def evaluate(self, frames: Iterable[Frame], every: int = 1,
-                 with_lpips: bool = True, poses=None):
+                 with_lpips: bool = True, poses=None,
+                 derive_budgets: bool = True):
         """PSNR/SSIM/LPIPS over held-out frames — the reference's
         `calc_2d_metric` triple (`scripts/gaussian_splatting.py:405-443`).
         LPIPS uses torchmetrics LPIPS(alex) when installed, else the JAX
@@ -807,6 +846,20 @@ class SLAMPipeline:
         from sags_tpu.eval.lpips_jax import lpips_any, lpips_backend
         from sags_tpu.eval.metrics import psnr, ssim
 
+        cfg = self.cfg
+        if derive_budgets and cfg.raster.windowed:
+            # Size the windowed render buffers for THIS map from one
+            # occupancy probe (the bench's derive pattern): eval still
+            # never adapts mid-run — budgets are fixed before the first
+            # score and the per-frame overflow counters verify coverage.
+            derived = self._rederive_windowed(cfg.raster) or {}
+            # eval is offline: run the per-tile queues at the proven-on-chip
+            # maximum — coverage over speed (training keeps its adapted
+            # capacity; wider-still queues stay counted, never silent)
+            derived["tile_capacity"] = max(cfg.raster.tile_capacity,
+                                           cfg.raster.tile_capacity_max)
+            cfg = cfg.replace(
+                raster=dataclasses.replace(cfg.raster, **derived))
         scores = []
         for i, frame in enumerate(frames):
             if i % every:
@@ -819,7 +872,7 @@ class SLAMPipeline:
             pose_i = (np.asarray(poses[i]) if poses is not None
                       else np.asarray(frame.pose))
             cam = self._camera_for(frame, pose_i)
-            out = slam_step_mod.render_map(self.state.map, cam, self.cfg)
+            out = slam_step_mod.render_map(self.state.map, cam, cfg)
             # Measurement must not steer the system it measures: eval NEVER
             # adapts capacities (that would recompile mid-eval and change
             # subsequent training). Overflow counters are REPORTED per frame
@@ -831,6 +884,7 @@ class SLAMPipeline:
                 "overflow_pairs": int(out.overflow_tile)
                 + int(out.overflow_rect) + int(out.overflow_window)
                 + int(out.overflow_big),
+                "n_binned": int(out.n_binned),
             }
             if with_lpips:
                 s["lpips"] = lpips_any(pred, frame.image)

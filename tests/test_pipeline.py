@@ -200,3 +200,52 @@ def test_pipeline_grows_map_capacity():
     assert all(np.isfinite(l) for l in res.losses)
     # growth respects the hard ceiling
     assert cap <= 8192
+
+
+@pytest.mark.slow
+def test_long_run_quality_floor():
+    """End-to-end QUALITY REGRESSION GATE (round-4 VERDICT #1): a textured
+    sequence long enough to outgrow the initial map capacity must come out
+    of the full loop (gicp_map tracking + growth + replay training +
+    post-train) with healthy reconstruction at the TRAINED poses. The two
+    round-4 silent killers — a map that never grew (4 dB PSNR on long runs)
+    and eval at GT poses — would both fail this floor, as would any future
+    rot of the same class. Floors carry ~1.5 dB / 2x margin under the
+    calibrated values (PSNR ~14.2 mean, ATE ~0.067 on this seed)."""
+    import dataclasses as _dc
+
+    from sags_tpu.core.config import SemanticsConfig
+
+    cfg = SLAMConfig(
+        raster=RasterizeConfig(max_tiles_per_gaussian=16, tile_capacity=128,
+                               chunk=32),
+        map=MapConfig(initial_capacity=2048, max_capacity=16384,
+                      initial_scale=0.05),
+        semantics=SemanticsConfig(cls3d_sample=32, num_classes=24),
+        keyframes=KeyframeConfig(keyframe_freq=2, window=12),
+        tracking=TrackingConfig(backend="gicp_map", max_points=1024),
+        gicp=GICPConfig(max_iterations=24, knn_max_distance=2.0),
+        post_train_iters=0, metrics_interval=8,
+    )
+    ds = list(SyntheticDataset(n_frames=16, width=96, height=64,
+                               n_world=8192, pts_per_frame=768, step=0.08,
+                               clutter=0.3, texture=0.6, seed=5))
+    pipe = SLAMPipeline(cfg, point_budget=768, rng_seed=0)
+    res = pipe.run(ds, post_train=40)
+    # growth actually happened and late points landed
+    assert res.state.map.capacity > 2048
+    assert int(np.asarray(res.state.map.active).sum()) > 2048
+    ate, _ = ate_rmse(res.poses_est, res.poses_gt, align=False)
+    assert ate < 0.15, ate
+    scores = pipe.evaluate(ds, every=4, with_lpips=False,
+                           poses=res.poses_est)
+    mean_psnr = float(np.mean([s["psnr"] for s in scores]))
+    assert mean_psnr > 13.0, (mean_psnr, [s["psnr"] for s in scores])
+    # Eval coverage loss stays bounded. The tiny 96x64 scene concentrates
+    # thousands of pairs in its few center tiles, so the per-tile queue
+    # drops a sub-percent tail of the DEEPEST pairs — those arrive with
+    # transmittance ~0 (the reference's early-exit would skip them too);
+    # the PSNR floor above is the actual quality gate. A broken budget
+    # drops orders of magnitude more.
+    for s in scores:
+        assert s["overflow_pairs"] <= 0.1 * s["n_binned"], scores
