@@ -457,8 +457,15 @@ class SLAMPipeline:
             return
         r = self.cfg.raster
         kw = {}
-        if over["tile"] and r.tile_capacity * 2 <= r.tile_capacity_max:
-            kw["tile_capacity"] = r.tile_capacity * 2
+        if over["tile"] and r.tile_capacity < r.tile_capacity_max:
+            # 1.5× on a 256-lattice (256→512→768→1024): compositor cost is
+            # ~linear in the queue depth (measured 59/75.6/89.6 ms at
+            # 512/768/1024), so the doubling ratchet overshot by a full
+            # step whenever the peak landed just past a boundary. 256
+            # multiples keep the Pallas K_chunk at 256 and chunk dividing.
+            kw["tile_capacity"] = min(
+                -(-int(r.tile_capacity * 1.5) // 256) * 256,
+                r.tile_capacity_max)
         if over["rect"]:
             # These metrics come from slam_step, which PINS the classic
             # fused path (windowed=False, slam/step.py:129) — so rect
@@ -701,8 +708,10 @@ class SLAMPipeline:
         if self._quiet_shrink < 4 * max(self.cfg.metrics_interval, 1):
             return
         self._quiet_shrink = 0
-        new_cap = max(256, r.tile_capacity // 2)
-        if new_cap == r.tile_capacity:
+        # peak-sized: land on the 256-lattice step holding 1.5× the
+        # observed peak (≈ cap/2 when the peak is at the shrink threshold)
+        new_cap = max(256, -(-int(peak * 1.5) // 256) * 256)
+        if new_cap >= r.tile_capacity:
             return
         self.cfg = self.cfg.replace(
             raster=dataclasses.replace(r, tile_capacity=new_cap))

@@ -817,11 +817,16 @@ def test_pipeline_tile_capacity_shrinks_back():
                      raster=RasterizeConfig(max_tiles_per_gaussian=4,
                                             tile_capacity=1024, chunk=8))
     pipe = SLAMPipeline(cfg, point_budget=64)
-    target = 4 * cfg.metrics_interval  # legacy (unfused) per-frame counting
+    target = 4 * cfg.metrics_interval  # quiet trained frames required
+    # peak-sized: 300 * 1.5 = 450 -> next 256-lattice step = 512
     for _ in range(target):
-        pipe._maybe_shrink_capacity(peak=100, overflow_free=True)
+        pipe._maybe_shrink_capacity(peak=300, overflow_free=True)
     assert pipe.cfg.raster.tile_capacity == 512
-    # an overflow (or a deep peak) resets the quiet counter
+    # hysteresis: peak*3 > 512 -> no further shrink at this depth
+    for _ in range(2 * target):
+        pipe._maybe_shrink_capacity(peak=300, overflow_free=True)
+    assert pipe.cfg.raster.tile_capacity == 512
+    # an overflow resets the quiet counter
     for _ in range(target - 1):
         pipe._maybe_shrink_capacity(peak=100, overflow_free=True)
     pipe._maybe_shrink_capacity(peak=100, overflow_free=False)
