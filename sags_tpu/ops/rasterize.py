@@ -440,7 +440,10 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeC
         table = table.at[row, col].set(jnp.where(fits, gid_s, -1), mode="drop")
         table = table[:NT]
 
-    return table, counts, n_binned, overflow_rect, overflow_tile
+    # UNCLAMPED deepest tile queue: lets capacity adaptation size
+    # tile_capacity directly from need instead of ratcheting blind
+    tile_peak = jnp.max(seg[:NT])
+    return table, counts, n_binned, overflow_rect, overflow_tile, tile_peak
 
 
 # ---------------------------------------------------------------------------
@@ -1528,7 +1531,7 @@ def contribution_mask(
     the feature matmul). Under jit the whole pass is dead-code-eliminated
     when `is_used` isn't consumed, so render/training paths that ignore it
     pay nothing."""
-    table, counts, _, _, _ = bin_gaussians(pre, tiles_x, tiles_y, cfg)
+    table, counts, _, _, _, _ = bin_gaussians(pre, tiles_x, tiles_y, cfg)
     NT, K_TILE = table.shape
     K = cfg.chunk
     n_chunks = K_TILE // K
@@ -1775,7 +1778,7 @@ def rasterize(
         )
         ov_tile = jnp.sum(jnp.maximum(nv - cfg.tile_capacity, 0))
         n_binned = jnp.sum(nv)
-        tile_peak = jnp.max(jnp.minimum(nv, cfg.tile_capacity))
+        tile_peak = jnp.max(nv)  # unclamped need
         px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
     elif use_windowed:
         (G_s, table, table_local, counts, bases, dests, nblks,
@@ -1795,10 +1798,9 @@ def rasterize(
             )
         px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
     else:
-        table, counts, n_binned, ov_rect, ov_tile = bin_gaussians(
+        table, counts, n_binned, ov_rect, ov_tile, tile_peak = bin_gaussians(
             pre, tiles_x, tiles_y, cfg
         )
-        tile_peak = jnp.max(counts)
         G = _pack_gaussians(pre, obj_features)
         accum, T_final, px, py = composite(
             table, counts, G, n_feat, tiles_x, tiles_y, cfg, mesh=mesh, fused=fused

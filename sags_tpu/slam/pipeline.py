@@ -458,14 +458,14 @@ class SLAMPipeline:
         r = self.cfg.raster
         kw = {}
         if over["tile"] and r.tile_capacity < r.tile_capacity_max:
-            # 1.5× on a 256-lattice (256→512→768→1024): compositor cost is
-            # ~linear in the queue depth (measured 59/75.6/89.6 ms at
-            # 512/768/1024), so the doubling ratchet overshot by a full
-            # step whenever the peak landed just past a boundary. 256
-            # multiples keep the Pallas K_chunk at 256 and chunk dividing.
-            kw["tile_capacity"] = min(
-                -(-int(r.tile_capacity * 1.5) // 256) * 256,
-                r.tile_capacity_max)
+            # Need-sized on a 256-lattice (256→512→768→1024): tile_peak is
+            # the UNCLAMPED deepest queue, so one growth lands at 1.25× the
+            # real need instead of ratcheting through doublings (compositor
+            # cost is ~linear in depth: 59/75.6/89.6 ms at 512/768/1024).
+            # 256 multiples keep the Pallas K_chunk at 256.
+            need = _lattice256(metrics.tile_peak)
+            if need > r.tile_capacity:
+                kw["tile_capacity"] = min(need, r.tile_capacity_max)
         if over["rect"]:
             # These metrics come from slam_step, which PINS the classic
             # fused path (windowed=False, slam/step.py:129) — so rect
@@ -680,6 +680,7 @@ class SLAMPipeline:
                     overflow_rect=int(r[fused_mod.MET_OV_RECT]),
                     overflow_window=int(r[fused_mod.MET_OV_WINDOW]),
                     overflow_big=int(r[fused_mod.MET_OV_BIG]),
+                    tile_peak=int(r[fused_mod.MET_TILE_PEAK]),
                 ))
         if trained_rows:
             self._maybe_shrink_capacity(peak, overflow_free,
@@ -691,15 +692,15 @@ class SLAMPipeline:
         """Un-ratchet tile_capacity once the scene settles: a dense startup
         (thousands of fresh splats in one view) legitimately overflows and
         grows the compositor, but the grown program costs real time every
-        frame (measured 59 → 92 ms/step at 512 → 1024). After 4 consecutive
-        overflow-free drains whose deepest tile queue fits in a THIRD of
-        the capacity, halve it (one recompile; the 3× hysteresis leaves the
-        halved budget ≥ 1.5× the observed peak, so grow/shrink oscillation
-        needs a real scene shift, not noise)."""
+        frame (measured 59/75.6/89.6 ms/step at 512/768/1024). After
+        4·metrics_interval consecutive overflow-free trained frames, land
+        on the 256-lattice step holding 1.25× the observed (unclamped)
+        peak; growth uses the same need-sizing, so oscillation needs a
+        real scene shift, not noise (growth additionally requires actual
+        counted overflow for 3 consecutive frames)."""
         r = self.cfg.raster
-        can_shrink = r.tile_capacity > 256  # Pallas lane floor 2x128
-        if not (overflow_free and can_shrink
-                and peak * 3 <= r.tile_capacity):
+        target = max(256, _lattice256(peak))  # 256 = Pallas lane floor
+        if not (overflow_free and target < r.tile_capacity):
             self._quiet_shrink = 0
             return
         # counted in quiet TRAINED FRAMES regardless of caller (the fused
@@ -708,13 +709,8 @@ class SLAMPipeline:
         if self._quiet_shrink < 4 * max(self.cfg.metrics_interval, 1):
             return
         self._quiet_shrink = 0
-        # peak-sized: land on the 256-lattice step holding 1.5× the
-        # observed peak (≈ cap/2 when the peak is at the shrink threshold)
-        new_cap = max(256, -(-int(peak * 1.5) // 256) * 256)
-        if new_cap >= r.tile_capacity:
-            return
         self.cfg = self.cfg.replace(
-            raster=dataclasses.replace(r, tile_capacity=new_cap))
+            raster=dataclasses.replace(r, tile_capacity=target))
         self.step_fn = slam_step_mod.make_slam_step(
             self.cfg, donate=False, mesh=self.mesh)
         if self._fused is not None:
@@ -735,6 +731,7 @@ class SLAMPipeline:
             loss=float(vals[0]), n_binned=int(vals[1]),
             overflow_tile=overflow[0], overflow_rect=overflow[1],
             overflow_window=overflow[2], overflow_big=overflow[3],
+            tile_peak=int(vals[6]),
         ))
         self._maybe_shrink_capacity(int(vals[6]), all(o == 0 for o in overflow))
         return metrics
@@ -907,6 +904,11 @@ class SLAMPipeline:
 from sags_tpu.core.transforms import LIDAR_TO_CAM as _LIDAR_TO_CAM  # noqa: E402
 
 
+def _lattice256(peak) -> int:
+    """1.25× headroom over a peak need, rounded up to the 256-lattice."""
+    return -(-int(peak * 1.25) // 256) * 256
+
+
 @dataclasses.dataclass
 class _HostMetrics:
     """Host-side snapshot of the metric scalars `_maybe_grow_capacity` reads."""
@@ -917,6 +919,7 @@ class _HostMetrics:
     overflow_rect: int
     overflow_window: int
     overflow_big: int
+    tile_peak: int = 0  # UNCLAMPED deepest tile queue (need signal)
 
 
 @jax.jit
