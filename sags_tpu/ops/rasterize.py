@@ -96,11 +96,15 @@ class RenderOutput(NamedTuple):
     overflow_tile: jax.Array
     overflow_window: jax.Array = jnp.int32(0)  # windowed-path span overflow
     overflow_big: jax.Array = jnp.int32(0)  # windowed big-tier buffer overflow
-    # deepest per-tile queue actually used (clamped at tile_capacity): the
-    # overflow adaptation's SHRINK signal — a transient startup overflow
-    # grows tile_capacity, and a sustained peak ≪ capacity lets the
-    # pipeline shrink it back (the grown compositor costs real time)
+    # deepest KNOWN per-tile queue need (classic path: exact for tiles that
+    # still transmit; saturated truncated tiles excluded) — the capacity
+    # adaptation's sizing signal
     tile_peak: jax.Array = jnp.int32(0)
+    # overflow_tile restricted to tiles with ≥1 pixel still above the
+    # transmittance floor — drops the reference's per-pixel early exit
+    # (`forward.cu:372-389`) would have composited. The adaptation keys on
+    # THIS; `overflow_tile` stays the raw count for exactness accounting.
+    overflow_tile_live: jax.Array = jnp.int32(0)
 
 
 # ---------------------------------------------------------------------------
@@ -440,10 +444,9 @@ def bin_gaussians(pre: Preprocessed, tiles_x: int, tiles_y: int, cfg: RasterizeC
         table = table.at[row, col].set(jnp.where(fits, gid_s, -1), mode="drop")
         table = table[:NT]
 
-    # UNCLAMPED deepest tile queue: lets capacity adaptation size
-    # tile_capacity directly from need instead of ratcheting blind
-    tile_peak = jnp.max(seg[:NT])
-    return table, counts, n_binned, overflow_rect, overflow_tile, tile_peak
+    # per-tile UNCLAMPED queue depth rides out for transmittance-aware
+    # overflow accounting (see rasterize)
+    return table, counts, n_binned, overflow_rect, overflow_tile, seg[:NT]
 
 
 # ---------------------------------------------------------------------------
@@ -1779,6 +1782,7 @@ def rasterize(
         ov_tile = jnp.sum(jnp.maximum(nv - cfg.tile_capacity, 0))
         n_binned = jnp.sum(nv)
         tile_peak = jnp.max(nv)  # unclamped need
+        ov_tile_live = ov_tile  # render path: no live/dead split
         px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
     elif use_windowed:
         (G_s, table, table_local, counts, bases, dests, nblks,
@@ -1786,6 +1790,7 @@ def rasterize(
             pre, obj_features, tiles_x, tiles_y, cfg
         )
         tile_peak = jnp.max(counts)
+        ov_tile_live = ov_tile  # render path: no live/dead split
         if mesh is not None:
             accum, T_final = _composite_windowed_sharded(
                 G_s, table, table_local, counts, bases, dests, nblks,
@@ -1798,13 +1803,35 @@ def rasterize(
             )
         px, py = _tile_pixel_coords(tiles_x, tiles_y, cfg.tile)
     else:
-        table, counts, n_binned, ov_rect, ov_tile, tile_peak = bin_gaussians(
+        table, counts, n_binned, ov_rect, ov_tile, seg = bin_gaussians(
             pre, tiles_x, tiles_y, cfg
         )
         G = _pack_gaussians(pre, obj_features)
         accum, T_final, px, py = composite(
             table, counts, G, n_feat, tiles_x, tiles_y, cfg, mesh=mesh, fused=fused
         )
+        # Transmittance-aware overflow accounting (the reference's render
+        # kernel early-exits each pixel at T < 1e-4, `forward.cu:372-389`):
+        # a depth-capped tile whose EVERY pixel already saturated would not
+        # have composited the dropped (deeper) pairs either — those drops
+        # are dead, not a coverage loss. `overflow_tile` stays the raw
+        # count; `overflow_tile_live` counts only drops in tiles still
+        # transmitting, and `tile_peak` is the deepest KNOWN need (exact
+        # for unsaturated tiles; excluded for saturated truncated tiles,
+        # whose true need is unknowable without per-pixel contrib counts).
+        # The compositing gate stops ABOVE the floor (a pair is rejected
+        # when T·(1−α) < t_min), so T_final never crosses t_min itself —
+        # saturation tests 10× the floor: any further pair contributes
+        # ≤ 10·t_min = 1e-3 of full scale, under the 8-bit display quantum
+        # (the reference's done-latch leaves T just above 1e-4 the same
+        # way, `forward.cu:381-387`).
+        saturated = jnp.all(
+            T_final < 10.0 * cfg.transmittance_min, axis=1)  # [NT]
+        truncated = seg > cfg.tile_capacity
+        ov_tile_live = jnp.sum(
+            jnp.where(~saturated, jnp.maximum(seg - cfg.tile_capacity, 0), 0))
+        need_known = jnp.where(saturated & truncated, 0, seg)
+        tile_peak = jnp.max(need_known)
 
     rgb = accum[..., :3]
     obj = accum[..., 3 : 3 + O]
@@ -1844,6 +1871,7 @@ def rasterize(
         overflow_window=ov_win,
         overflow_big=ov_big,
         tile_peak=tile_peak.astype(jnp.int32),
+        overflow_tile_live=ov_tile_live.astype(jnp.int32),
     )
 
 

@@ -59,7 +59,8 @@ MET_OV_BIG = 5
 MET_N_TRACKABLE = 6
 MET_TRAINED = 7
 MET_TILE_PEAK = 8
-MET_COLS = 9
+MET_OV_TILE_LIVE = 9
+MET_COLS = 10
 
 
 class TrackState(NamedTuple):
@@ -184,6 +185,7 @@ def _train_and_metrics(state, track: TrackState, camera, image, objects,
         _n_trackable(state.map, cfg).astype(jnp.float32),
         jnp.float32(trained_flag),
         sm.tile_peak.astype(jnp.float32),
+        sm.overflow_tile_live.astype(jnp.float32),
     ])
     return state, _write_row(track, row)
 

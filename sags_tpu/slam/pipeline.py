@@ -444,7 +444,12 @@ class SLAMPipeline:
         binned = max(int(metrics.n_binned), 1)
         thresh = 0.001 * binned
         over = {
-            "tile": int(metrics.overflow_tile) > thresh,
+            # LIVE drops only: depth-capped pairs behind fully-saturated
+            # pixels are exactly what the reference's per-pixel early exit
+            # skips (`forward.cu:372-389`) — growing capacity for them buys
+            # nothing and costs every frame
+            "tile": int(getattr(metrics, "overflow_tile_live",
+                                metrics.overflow_tile)) > thresh,
             "rect": int(getattr(metrics, "overflow_rect", 0)) > thresh,
             "window": int(getattr(metrics, "overflow_window", 0)) > thresh,
             "big": int(getattr(metrics, "overflow_big", 0)) > thresh,
@@ -669,7 +674,7 @@ class SLAMPipeline:
                 trained_rows += 1
                 peak = max(peak, int(r[fused_mod.MET_TILE_PEAK]))
                 overflow_free &= (
-                    int(r[fused_mod.MET_OV_TILE]) == 0
+                    int(r[fused_mod.MET_OV_TILE_LIVE]) == 0
                     and int(r[fused_mod.MET_OV_RECT]) == 0
                     and int(r[fused_mod.MET_OV_WINDOW]) == 0
                     and int(r[fused_mod.MET_OV_BIG]) == 0)
@@ -681,6 +686,7 @@ class SLAMPipeline:
                     overflow_window=int(r[fused_mod.MET_OV_WINDOW]),
                     overflow_big=int(r[fused_mod.MET_OV_BIG]),
                     tile_peak=int(r[fused_mod.MET_TILE_PEAK]),
+                    overflow_tile_live=int(r[fused_mod.MET_OV_TILE_LIVE]),
                 ))
         if trained_rows:
             self._maybe_shrink_capacity(peak, overflow_free,
@@ -699,7 +705,11 @@ class SLAMPipeline:
         real scene shift, not noise (growth additionally requires actual
         counted overflow for 3 consecutive frames)."""
         r = self.cfg.raster
-        target = max(256, _lattice256(peak))  # 256 = Pallas lane floor
+        # at most ONE lattice step down per quiet window, never below the
+        # deepest known live need: saturated truncated tiles have unknown
+        # true need, so stepping down gradually and letting LIVE overflow
+        # veto is the probe (one recompile per step, bounded lattice)
+        target = max(256, _lattice256(peak), r.tile_capacity - 256)
         if not (overflow_free and target < r.tile_capacity):
             self._quiet_shrink = 0
             return
@@ -727,13 +737,15 @@ class SLAMPipeline:
         self.losses.append(float(vals[0]))
         self.train_iter += 1
         overflow = [int(vals[i]) for i in (2, 3, 4, 5)]
+        live = int(vals[7])
         self._maybe_grow_capacity(_HostMetrics(
             loss=float(vals[0]), n_binned=int(vals[1]),
             overflow_tile=overflow[0], overflow_rect=overflow[1],
             overflow_window=overflow[2], overflow_big=overflow[3],
-            tile_peak=int(vals[6]),
+            tile_peak=int(vals[6]), overflow_tile_live=live,
         ))
-        self._maybe_shrink_capacity(int(vals[6]), all(o == 0 for o in overflow))
+        self._maybe_shrink_capacity(
+            int(vals[6]), live == 0 and all(o == 0 for o in overflow[1:]))
         return metrics
 
     # ------------------------------------------------------------------
@@ -919,12 +931,13 @@ class _HostMetrics:
     overflow_rect: int
     overflow_window: int
     overflow_big: int
-    tile_peak: int = 0  # UNCLAMPED deepest tile queue (need signal)
+    tile_peak: int = 0  # deepest KNOWN tile-queue need
+    overflow_tile_live: int = 0  # tile drops above the transmittance floor
 
 
 @jax.jit
 def _pack_metrics(metrics):
-    """Pack the host-read metric scalars into one [7] array → one fetch."""
+    """Pack the host-read metric scalars into one [8] array → one fetch."""
     g = lambda name: getattr(metrics, name, jnp.int32(0))
     return jnp.stack([
         metrics.loss.astype(jnp.float32),
@@ -934,4 +947,5 @@ def _pack_metrics(metrics):
         g("overflow_window").astype(jnp.float32),
         g("overflow_big").astype(jnp.float32),
         g("tile_peak").astype(jnp.float32),
+        g("overflow_tile_live").astype(jnp.float32),
     ])

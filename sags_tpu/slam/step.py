@@ -51,7 +51,10 @@ class StepMetrics(NamedTuple):
     overflow_rect: jax.Array
     overflow_window: jax.Array
     overflow_big: jax.Array
-    tile_peak: jax.Array  # deepest per-tile queue used (shrink signal)
+    tile_peak: jax.Array  # deepest KNOWN per-tile queue need (sizing signal)
+    # tile drops the reference's per-pixel early exit would have composited
+    # (adaptation keys on this; overflow_tile is the raw count)
+    overflow_tile_live: jax.Array
 
 
 def init_state(cfg: SLAMConfig, rng: jax.Array, capacity: Optional[int] = None) -> SLAMState:
@@ -226,6 +229,7 @@ def slam_step(
         overflow_window=out.overflow_window,
         overflow_big=out.overflow_big,
         tile_peak=out.tile_peak,
+        overflow_tile_live=out.overflow_tile_live,
     )
     return new_state, metrics
 

@@ -327,7 +327,8 @@ def test_pipeline_overflow_adaptation_grows_knobs():
                     n_active=jnp.int32(1), n_binned=jnp.int32(1000),
                     overflow_tile=jnp.int32(50), overflow_rect=jnp.int32(50),
                     overflow_window=jnp.int32(50), overflow_big=jnp.int32(50),
-                    tile_peak=jnp.int32(128))
+                    tile_peak=jnp.int32(128),
+                    overflow_tile_live=jnp.int32(50))
     for _ in range(3):
         pipe._maybe_grow_capacity(m)
     assert pipe.cfg.raster.tile_capacity == 256
@@ -818,11 +819,15 @@ def test_pipeline_tile_capacity_shrinks_back():
                                             tile_capacity=1024, chunk=8))
     pipe = SLAMPipeline(cfg, point_budget=64)
     target = 4 * cfg.metrics_interval  # quiet trained frames required
-    # peak-sized: 300 * 1.5 = 450 -> next 256-lattice step = 512
+    # one lattice step down per quiet window: 1024 -> 768
+    for _ in range(target):
+        pipe._maybe_shrink_capacity(peak=300, overflow_free=True)
+    assert pipe.cfg.raster.tile_capacity == 768
+    # second quiet window: 768 -> 512 (= lattice(1.25*300), the known need)
     for _ in range(target):
         pipe._maybe_shrink_capacity(peak=300, overflow_free=True)
     assert pipe.cfg.raster.tile_capacity == 512
-    # hysteresis: peak*3 > 512 -> no further shrink at this depth
+    # need floor: lattice(1.25*300)=512 blocks further shrink at this peak
     for _ in range(2 * target):
         pipe._maybe_shrink_capacity(peak=300, overflow_free=True)
     assert pipe.cfg.raster.tile_capacity == 512
@@ -835,3 +840,38 @@ def test_pipeline_tile_capacity_shrinks_back():
     for _ in range(3 * target):
         pipe._maybe_shrink_capacity(peak=10, overflow_free=True)
     assert pipe.cfg.raster.tile_capacity == 256
+
+
+def test_live_overflow_respects_transmittance_floor():
+    """Transmittance-aware tile-overflow accounting: depth-capped drops
+    behind fully saturated pixels are what the reference's per-pixel early
+    exit skips (`forward.cu:372-389`) — counted raw, but NOT live. Drops in
+    a still-transmitting tile are genuine coverage loss — live."""
+    from sags_tpu.core.camera import make_camera
+
+    cam = make_camera(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                      16, 16, 1.0, 1.0)  # single 16x16 tile
+    cfg = RasterizeConfig(max_tiles_per_gaussian=4, tile_capacity=32,
+                          chunk=16)
+    n = 80  # > tile_capacity
+    means = jnp.asarray(np.stack([np.zeros(n), np.zeros(n),
+                                  np.linspace(2.0, 6.0, n)], -1), jnp.float32)
+    scales = jnp.full((n, 3), 2.0, jnp.float32)  # blanket the whole tile
+    quats = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (n, 1))
+    colors = jnp.ones((n, 3), jnp.float32)
+
+    # opaque stack: every pixel saturates within the first ~5 splats; the
+    # 48 depth-capped pairs are raw overflow but dead (live == 0)
+    opaque = rz.rasterize(means, jnp.full((n,), 0.95), scales, quats, cam,
+                          cfg, colors=colors)
+    assert int(opaque.overflow_tile) > 0
+    assert int(opaque.overflow_tile_live) == 0, int(opaque.overflow_tile_live)
+    assert int(opaque.tile_peak) <= cfg.tile_capacity  # sat+truncated: need unknown
+
+    # translucent stack: nothing saturates, the same drops ARE live and the
+    # known need is the full queue depth
+    faint = rz.rasterize(means, jnp.full((n,), 0.02), scales, quats, cam,
+                         cfg, colors=colors)
+    assert int(faint.overflow_tile) > 0
+    assert int(faint.overflow_tile_live) == int(faint.overflow_tile)
+    assert int(faint.tile_peak) > cfg.tile_capacity
