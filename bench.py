@@ -426,10 +426,12 @@ def main():
                     result.update(pipe)
                     result["slam_frame_note"] = (
                         "full track+grow+train loop, sync-bounded throughput "
-                        "(warm segment timed end-to-end incl. final "
+                        "(warm segment excluded, timed segment ends with "
                         "block_until_ready); the fused front-end issues ONE "
                         "dispatch per frame with no per-frame value fetches, "
-                        "so the loop is device-compute-bound, not RTT-bound")
+                        "so the loop is device-compute-bound (~90 ms train "
+                        "step at the adapted tile capacity + ~11 ms "
+                        "tracking), not RTT-bound as in round 4")
                     print(f"# pipeline steady-state: {pipe['slam_frame_hz']} Hz "
                           f"({pipe['slam_frame_ms_median']} ms/frame median, "
                           f"full track+grow+train loop)", file=sys.stderr)

@@ -229,6 +229,21 @@ class SLAMPipeline:
         if self._count_ub + incoming <= cap:
             self._count_ub += incoming
             return
+        # Reclaim pruned holes BEFORE paying a capacity doubling: adds
+        # append at the count high-water mark, so transparent-pruned slots
+        # fragment the buffer until compaction (the reference's physical
+        # row removal, `gaussian_model.py:443-459`). Only worth the host
+        # round-trip when it frees real room (≥ the incoming batch AND a
+        # quarter of capacity) — otherwise grow.
+        n_act = int(np.asarray(gm.n_active(self.state.map)))
+        if cap - n_act >= max(incoming, cap // 4):
+            new_map, new_opt = gm.compact(self.state.map,
+                                          self.state.opt_state)
+            self.state = self.state._replace(map=new_map, opt_state=new_opt)
+            self._count_ub = n_act
+            if self._count_ub + incoming <= cap:
+                self._count_ub += incoming
+                return
         new_cap = cap
         need = self._count_ub + incoming
         while new_cap < need and new_cap < self.cfg.map.max_capacity:

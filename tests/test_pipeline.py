@@ -249,3 +249,31 @@ def test_long_run_quality_floor():
     # drops orders of magnitude more.
     for s in scores:
         assert s["overflow_pairs"] <= 0.1 * s["n_binned"], scores
+
+
+@pytest.mark.slow
+def test_growth_compacts_pruned_holes_first():
+    """Pruned (deactivated) slots fragment the fixed-capacity buffers —
+    before paying a capacity doubling, growth reclaims them by compaction
+    (the reference's physical row removal, `gaussian_model.py:443-459`)."""
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg("none")
+    cfg = cfg.replace(map=dataclasses.replace(
+        cfg.map, initial_capacity=1024, max_capacity=4096))
+    pipe = SLAMPipeline(cfg, point_budget=256, rng_seed=0)
+    # fill most of the map, then deactivate half (as pruning would)
+    pts = np.random.default_rng(0).uniform(-1, 1, (900, 3)).astype(np.float32)
+    pipe.state, _ = pipe.add_fn(
+        pipe.state, jnp.asarray(pts), jnp.ones((900, 3), jnp.float32) * 0.5,
+        jnp.ones(900, bool), jnp.int32(0))
+    m = pipe.state.map
+    kill = jnp.asarray(np.arange(1024) % 2 == 0)
+    pipe.state = pipe.state._replace(map=m._replace(active=m.active & ~kill))
+    # next adds would cross capacity -> compaction must reclaim, not grow
+    pipe._maybe_grow_map(256)
+    assert pipe.state.map.capacity == 1024  # no growth paid
+    assert int(np.asarray(pipe.state.map.count)) <= 460  # holes squeezed
+    # active survivors keep training state (spot check: count matches)
+    assert int(np.asarray(pipe.state.map.active).sum()) == int(
+        np.asarray(pipe.state.map.count))
