@@ -50,8 +50,10 @@ class PipelineResult:
     losses: List[float]
     state: slam_step_mod.SLAMState
     timed_out: bool = False  # stream ended by cfg.timeout_s silence
-    # wall-clock per consumed frame (track+grow+mask+train); the first
-    # frames carry XLA compiles — report median for the steady-state rate
+    # wall-clock per consumed frame. Under the fused front-end most frames
+    # only ENQUEUE device work (sub-ms) and the periodic metrics drain
+    # absorbs the wait — steady-state rates must be SUM-based over a span
+    # (len/sum), never a per-frame median. First frames carry XLA compiles.
     frame_times: List[float] = dataclasses.field(default_factory=list)
 
 
