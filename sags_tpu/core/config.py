@@ -238,6 +238,13 @@ class MapConfig:
     initial_opacity: float = 0.1  # (`gaussian_model.py:162,203`)
     initial_scale: float = 0.01  # SLAM add path (`scripts/gaussian_splatting.py:684`)
     prune_min_opacity: float = 0.005  # (`scripts/gaussian_splatting.py:830`)
+    # Initialize scan splats from the tracker's surfel covariance
+    # eigendecomposition (quat + √eigenvalue scales — the reference fork's
+    # q/s export, `fast_gicp_impl.hpp:420-434`; the GS-ICP-SLAM design)
+    # instead of `initial_scale` isotropic balls. The map then IS the
+    # surfel field the scan-to-map tracker aligns against. Applies to the
+    # fused front-end's gicp/vgicp/gicp_map modes.
+    surfel_init: bool = True
     prune_extent: float = 2.5  # prune_th (`scripts/gaussian_splatting.py:165`)
     prune_interval: int = 200  # (`scripts/gaussian_splatting.py:829-831`)
 
@@ -287,7 +294,28 @@ class TrackingConfig:
     # trackable Gaussians, `fast_gicp_impl.hpp:586-720`) | esikf | none
     # (poses given)
     backend: str = "gicp"
-    opacity_threshold: float = 0.9
+    # scan-to-map target gate: trackable splats must retain this much
+    # opacity (i.e. not be fading toward the 0.005 prune floor). Scan
+    # points enter the map at opacity 0.1 — a high threshold (e.g. the
+    # 0.9 of round ≤4) selects NOTHING until long training and silently
+    # degrades gicp_map to scan-to-scan.
+    opacity_threshold: float = 0.05
+    # scan-to-map correspondence gate (meters): scan points whose nearest
+    # trackable map point is farther than this are NEW geometry (no map
+    # counterpart yet) and must not drag the align. Scan-to-scan keeps the
+    # reference's ungated default (both clouds cover the same region).
+    map_corr_threshold: float = 1.0
+    # scan-to-map engages only once this many trackable splats exist: a
+    # one-keyframe-thin map under-constrains the absolute solve (measured:
+    # the first anchored frame against a 512-point map jumped 0.88 m; with
+    # a mature map the same solve tracks at 1-2 cm). Until then the
+    # tracker composes scan-to-scan deltas.
+    anchor_min_points: int = 2048
+    # reject an anchored solve that jumps farther than this (meters) from
+    # the constant-velocity prediction — fall back to the prediction (the
+    # role of the reference's "lm not converged" break,
+    # `lsq_registration_impl.hpp:68-71`)
+    max_jump: float = 0.5
     downsample_resolution: float = 0.1
     max_points: int = 8192  # static-shape cap for the tracker's point budget
     # seed ESIKF pose+velocity from one scan-to-scan GICP on the first frame

@@ -513,11 +513,32 @@ def trackable_subset(m: GaussianMap, opacity_th: float, budget: int):
     xyz, rot, scal, sel = get_trackable_gaussians(m, opacity_th)
     cap = xyz.shape[0]
     iota = jnp.arange(cap, dtype=jnp.int32)
-    _, idx = jax.lax.sort(
-        (jnp.where(sel, 0, 1).astype(jnp.int32), iota), num_keys=1
+    # NEWEST-first under the budget: slots fill in arrival order, so the
+    # highest indices are the most recently observed geometry — the part
+    # of the map the CURRENT scan overlaps. Oldest-first (round ≤4) fed
+    # the tracker frame-0 geometry forever: once the sensor moved on, the
+    # correspondences were garbage and scan-to-map diverged.
+    _, _, idx = jax.lax.sort(
+        (jnp.where(sel, 0, 1).astype(jnp.int32), -iota, iota), num_keys=2
     )
     idx = idx[:budget]
     n_sel = jnp.sum(sel.astype(jnp.int32))
     mask = jnp.arange(budget) < jnp.minimum(n_sel, budget)
     covs = covariances_from_qs(rot[idx], scal[idx])
+    # Regularize like the SOURCE covariances (NORMALIZED_ELLIPSE,
+    # `fast_gicp_impl.hpp:462-475`): the scan side of the Mahalanobis is
+    # unitless O(1) ellipse ratios — raw metric surfel covariances on the
+    # target side (eigenvalues ~1e-4..1e-1) skew the metric and the LM
+    # solve walks off. Same math as `estimate_covariances`, but from the
+    # closed-form eigendecomposition of Σ = R S² Rᵀ.
+    from sags_tpu.ops.gicp import sym_eig3
+
+    evals, U = sym_eig3(covs)
+    sv = jnp.maximum(evals, 0.0)
+    mid = sv[:, 1:2]
+    vals = jnp.where(
+        mid == 0.0, jnp.full_like(sv, 1e-9),
+        jnp.maximum(sv / jnp.where(mid == 0.0, 1.0, mid), 1e-3))
+    covs = jnp.einsum("nij,nj,nkj->nik", U, vals, U)
+    covs = jnp.where(mask[:, None, None], covs, jnp.eye(3)[None])
     return xyz[idx], covs, mask, n_sel

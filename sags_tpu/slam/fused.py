@@ -93,10 +93,13 @@ def init_track_state(n_scan: int, n_metrics: int) -> TrackState:
 
 
 def _estimate_covs(scan, mask, cfg: SLAMConfig):
+    """Per-scan surfel covariances PLUS their (quat, scale) export — the
+    reference fork's core feature (`fast_gicp_impl.hpp:420-434`): the same
+    eigendecomposition drives GICP alignment AND Gaussian-splat init."""
     g = cfg.gicp
     return gicp_ops.estimate_covariances(
         scan, mask, g.k_correspondences, g.knn_max_distance, g.regularization
-    ).covs
+    )
 
 
 def _n_trackable(m: gm.GaussianMap, cfg: SLAMConfig) -> jax.Array:
@@ -119,26 +122,40 @@ def _track(state, track: TrackState, scan, smask, pose_in, cfg: SLAMConfig,
         return (pose_in, track.prev_scan, track.prev_mask, track.prev_covs,
                 track.prev_delta)
 
-    covs = _estimate_covs(scan, smask, cfg)
+    covs = _estimate_covs(scan, smask, cfg).covs
     if first:
         return track.T, scan, smask, covs, track.prev_delta
 
     if mode == "gicp_map" and anchored:
+        import dataclasses as _dc
+
         tcfg = cfg.tracking
         tgt, tcov, tmask, _ = gm.trackable_subset(
             state.map, tcfg.opacity_threshold, tcfg.max_points
         )
+        # Correspondence gate: unlike scan-to-scan (both clouds cover the
+        # same region), part of each scan is NEW geometry with no map
+        # counterpart yet — ungated NN matches drag the solve toward
+        # whatever old map point happens to be nearest. Static config, so
+        # the gate costs nothing.
+        gcfg = _dc.replace(cfg.gicp,
+                           corr_dist_threshold=tcfg.map_corr_threshold)
         # warm start: previous pose composed with the last inter-frame
         # delta (constant velocity) — the absolute solve then starts a few
         # millimeters from the answer
+        init = jnp.matmul(track.T, track.prev_delta)
         res = gicp_ops.gicp_align(
-            scan, tgt, smask, tmask,
-            jnp.matmul(track.T, track.prev_delta), cfg.gicp,
+            scan, tgt, smask, tmask, init, gcfg,
             source_covs=covs, target_covs=tcov,
         )
+        # jump rejection: an anchored solve that lands far from the
+        # constant-velocity prediction is a failed registration (thin or
+        # ambiguous target) — keep the prediction instead
+        jump = jnp.linalg.norm(res.T[:3, 3] - init[:3, 3])
+        T_new = jnp.where(jump <= tcfg.max_jump, res.T, init)
         from sags_tpu.core.transforms import se3_inverse
-        delta = jnp.matmul(se3_inverse(track.T), res.T)
-        return res.T, scan, smask, covs, delta
+        delta = jnp.matmul(se3_inverse(track.T), T_new)
+        return T_new, scan, smask, covs, delta
 
     align = gicp_ops.vgicp_align if mode == "vgicp" else gicp_ops.gicp_align
     res = align(
@@ -161,11 +178,22 @@ def _camera_at(T: jax.Array, cfg: SLAMConfig, H: int, W: int) -> Camera:
 
 
 def _add(state, T, points, colors, pmask, kf_id, cfg: SLAMConfig,
-         *, sensor_frame: bool):
+         *, sensor_frame: bool, surfel: bool):
     if sensor_frame:
         points = points @ T[:3, :3].T + T[:3, 3]
+    quats = scales = None
+    if surfel:
+        # GS-ICP-SLAM lineage: splats are initialized from the scan's
+        # surfel covariance eigendecomposition (quat + √eigenvalue scales,
+        # the reference fork's q/s export `fast_gicp_impl.hpp:420-434`) —
+        # the map then IS the surfel field the scan-to-map tracker aligns
+        # against. Computed on the WORLD-registered points so the quats
+        # need no frame rotation (~1.5 ms per 4096-point batch).
+        pc = _estimate_covs(points, pmask, cfg)
+        quats, scales = pc.quats, pc.scales
     state, _ = slam_step_mod.add_frame_points(
-        state, points, colors, pmask, cfg, keyframe_id=kf_id
+        state, points, colors, pmask, cfg, quats=quats, scales=scales,
+        keyframe_id=kf_id
     )
     return state
 
@@ -235,6 +263,7 @@ class FusedFrontend:
         (camera constructed in-trace). Returns (state, track, pose, camera)."""
         cfg, H, W, mesh = self.cfg, self.H, self.W, self.mesh
         mode, sensor = cfg.tracking.backend, self.sensor_frame
+        surfel_init = cfg.map.surfel_init and mode != "none"
 
         def build():
             def fn(state, track, scan, smask, points, colors, pmask,
@@ -244,7 +273,8 @@ class FusedFrontend:
                     mode=mode, anchored=anchored, first=first)
                 cam = _camera_at(T, cfg, H, W)
                 state = _add(state, T, points, colors, pmask,
-                             track.frame_idx, cfg, sensor_frame=sensor)
+                             track.frame_idx, cfg, sensor_frame=sensor,
+                             surfel=surfel_init)
                 track = track._replace(
                     T=T, prev_scan=pscan, prev_mask=pmsk, prev_covs=pcovs,
                     prev_delta=pdelta, frame_idx=track.frame_idx + 1)
@@ -259,6 +289,7 @@ class FusedFrontend:
         """Replay program: track → grow → train on a STORED keyframe."""
         cfg, H, W, mesh = self.cfg, self.H, self.W, self.mesh
         mode, sensor = cfg.tracking.backend, self.sensor_frame
+        surfel_init = cfg.map.surfel_init and mode != "none"
 
         def build():
             def fn(state, track, scan, smask, points, colors, pmask,
@@ -267,7 +298,8 @@ class FusedFrontend:
                     state, track, scan, smask, pose_in, cfg,
                     mode=mode, anchored=anchored, first=False)
                 state = _add(state, T, points, colors, pmask,
-                             track.frame_idx, cfg, sensor_frame=sensor)
+                             track.frame_idx, cfg, sensor_frame=sensor,
+                             surfel=surfel_init)
                 track = track._replace(
                     T=T, prev_scan=pscan, prev_mask=pmsk, prev_covs=pcovs,
                     prev_delta=pdelta, frame_idx=track.frame_idx + 1)
@@ -286,6 +318,7 @@ class FusedFrontend:
         `train_only` follows (its row would double-count the frame)."""
         cfg, H, W = self.cfg, self.H, self.W
         mode, sensor = cfg.tracking.backend, self.sensor_frame
+        surfel_init = cfg.map.surfel_init and mode != "none"
 
         def build():
             def fn(state, track, scan, smask, points, colors, pmask, pose_in):
@@ -294,7 +327,8 @@ class FusedFrontend:
                     mode=mode, anchored=anchored, first=first)
                 cam = _camera_at(T, cfg, H, W)
                 state = _add(state, T, points, colors, pmask,
-                             track.frame_idx, cfg, sensor_frame=sensor)
+                             track.frame_idx, cfg, sensor_frame=sensor,
+                             surfel=surfel_init)
                 track = track._replace(
                     T=T, prev_scan=pscan, prev_mask=pmsk, prev_covs=pcovs,
                     prev_delta=pdelta, frame_idx=track.frame_idx + 1)

@@ -280,7 +280,8 @@ class SLAMPipeline:
             self.state.map, tcfg.opacity_threshold, tcfg.max_points
         )
         scan_d, msk_d = jnp.asarray(scan_p), jnp.asarray(msk)
-        if not self._map_anchored and int(n_sel) >= 64:
+        if (not self._map_anchored
+                and int(n_sel) >= self.cfg.tracking.anchor_min_points):
             self._map_anchored = True  # map only grows: fetch never again
         covs_d = self._scan_covs(scan_d, msk_d)
         if not self._map_anchored:
@@ -637,7 +638,7 @@ class SLAMPipeline:
             idx = (self._host_mi - 1) % M
             n_sel = int(np.asarray(
                 self.track.metrics[idx, fused_mod.MET_N_TRACKABLE]))
-            if n_sel >= 64:
+            if n_sel >= self.cfg.tracking.anchor_min_points:
                 self._map_anchored = True
         self._maybe_drain_lagged()
         return T

@@ -265,10 +265,18 @@ def add_frame_points(
     keyframe_id=-1,
 ) -> Tuple[SLAMState, jax.Array]:
     """Per-frame map growth (`scripts/gaussian_splatting.py:677-689`):
-    z_vals default ‖p‖/5000, scale 0.01, identity rotation."""
+    z_vals default ‖p‖/5000, scale 0.01, identity rotation.
+
+    Scan-registered points default to TRACKABLE: they are real surfel
+    geometry the scan-to-map tracker may anchor against (the reference
+    fork's `trackable_mask` bookkeeping, `gaussian_model.py:65-66,173-176`)
+    — densification clones/splits stay non-trackable (synthetic geometry,
+    handled inside mapping/gaussian_map)."""
     rng, sub = jax.random.split(state.rng)
     if z_vals is None:
         z_vals = jnp.linalg.norm(points, axis=-1) / 5000.0
+    if trackable is None:
+        trackable = mask
     m, dropped = gm.add_points(
         state.map,
         points,
